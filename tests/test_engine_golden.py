@@ -1,0 +1,37 @@
+"""End-to-end golden reproduction: host parity engine vs shipped outputs.
+
+The 1azp protein-DNA example (dna scoring, ANM 10+10, restraints, seed
+324324) is fully reproducible without external data assets.  The parity
+engine must render gso_1.out and gso_10.out byte-identically to the
+goldens shipped with the reference (example/1azp/swarm_0/).
+"""
+
+import pytest
+
+from lightdock_tpu.engine.gso_host import GsoHostEngine
+from lightdock_tpu.simulation import load_simulation
+from lightdock_tpu.utils.output import format_gso_output
+
+
+@pytest.mark.slow
+def test_1azp_golden_trajectory(reference_dir):
+    ex = reference_dir / "example/1azp"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dna", anm_dir=ex)
+    assert sim.seed == 324324 and sim.use_anm
+
+    engine = GsoHostEngine(sim.batch_params(), sim.positions, sim.seed,
+                           sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig)
+
+    rendered = {}
+
+    def snap(e, step):
+        if step in (1, 10):
+            rendered[step] = format_gso_output(
+                e.poses(), e.luciferin, e.num_neighbors, e.vision, e.scoring)
+
+    engine.run(10, on_step=snap)
+
+    for step in (1, 10):
+        golden = (ex / f"swarm_0/gso_{step}.out").read_text()
+        assert rendered[step] == golden, f"step {step} differs from golden"
