@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""North-star benchmark: poses scored/sec/chip, 1ppe DFIRE, 200 glowworms.
+
+Runs the batched device engine for 100 GSO steps on the 1ppe complex
+(1615 x 221 atoms, no ANM) — the reference's headline configuration
+(BASELINE.md: 4.252 s wall-clock, ~4.7k poses/s upper bound on one M3 CPU
+core) — and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Diagnostics go to stderr.  The DFIRE table contents do not affect timing;
+the synthetic table stands in when data/DCparams is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POSES_PER_S = 4700.0  # reference upper bound, BASELINE.md (1ppe)
+REFERENCE = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE", "/root/reference"))
+STEPS = 100
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_1ppe():
+    from lightdock_tpu.simulation import load_simulation
+
+    ex = REFERENCE / "example/1ppe"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat", "dfire")
+    return sim.batch_params(dtype=np.float32), sim.positions
+
+
+def synth_1ppe_shaped():
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from __graft_entry__ import _toy_system
+
+    params, pos, _ = _toy_system(n_rec=1615, n_lig=221, g=200)
+    return params, pos
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    log(f"backend={backend} device={dev.device_kind} ndev={len(jax.devices())}")
+
+    if (REFERENCE / "example/1ppe/setup.json").exists():
+        params, positions = load_1ppe()
+        log("workload: real 1ppe (1615x221 atoms)")
+    else:
+        params, positions = synth_1ppe_shaped()
+        log("workload: synthetic 1ppe-shaped system")
+
+    g = positions.shape[0]
+    n_pairs = params.rec_coords.shape[0] * params.lig_coords.shape[0]
+
+    runner = GsoJaxRunner(params, positions, seed=324324, use_anm=False,
+                          anm_rec=0, anm_lig=0, dtype=jnp.float32,
+                          energy_chunk=0)
+
+    # Warm-up/compile.  (np.asarray forces the device->host fetch: on
+    # tunneled platforms block_until_ready can return early.)
+    t0 = time.time()
+    runner._start_step = 0
+    final, _ = runner.run(STEPS)
+    np.asarray(final.scoring)
+    log(f"compile+first run: {time.time() - t0:.2f}s")
+
+    # Timed runs.
+    times = []
+    for _ in range(3):
+        runner._start_step = 0
+        t0 = time.time()
+        final, _ = runner.run(STEPS)
+        np.asarray(final.scoring)
+        times.append(time.time() - t0)
+    best = min(times)
+    poses_per_s = g * STEPS / best
+    log(f"100-step wall-clock: {best:.4f}s (runs: {['%.3f' % t for t in times]})")
+    log(f"pair-interactions/s: {g * STEPS * n_pairs / best:.3e}")
+
+    print(json.dumps({
+        "metric": "poses_scored_per_sec_per_chip_1ppe_dfire",
+        "value": round(poses_per_s, 1),
+        "unit": "poses/s",
+        "vs_baseline": round(poses_per_s / BASELINE_POSES_PER_S, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Command-line driver, argv-compatible with the reference binary.
+
+Usage (reference src/bin/lightdock-rust.rs:92-147):
+
+    lightdock-tpu <setup.json> <initial_positions_N.dat> <steps> <dfire|dna|pydock>
+
+plus optional flags selecting the engine and precision.  Outputs are
+written to ``./swarm_N/gso_{step}.out`` (created when missing, reference
+bin:174-185); ANM ``.npy`` files are read from the working directory
+(reference bin:217-254).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pathlib
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="lightdock-tpu",
+        description="TPU-native GSO docking (DFIRE / DNA / PYDOCK scoring)")
+    ap.add_argument("setup", help="setup.json produced by lightdock3_setup.py")
+    ap.add_argument("positions", help="initial_positions_N.dat")
+    ap.add_argument("steps", type=int, help="number of GSO steps")
+    ap.add_argument("method", type=str.lower, choices=["dfire", "dna", "pydock"])
+    ap.add_argument("--engine", choices=["jax", "host"], default="jax",
+                    help="jax: batched device engine (default); "
+                         "host: float64 NumPy parity engine")
+    ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                    help="device compute precision (default: float64 on CPU, "
+                         "float32 on accelerators)")
+    ap.add_argument("--energy-chunk", type=int, default=None,
+                    help="glowworm-axis chunk for pair-energy evaluation "
+                         "(default: auto from pair count)")
+    ap.add_argument("--anm-dir", default=None,
+                    help="directory holding rec_nm.npy/lig_nm.npy "
+                         "(default: working directory, like the reference)")
+    ap.add_argument("--output-dir", default=None,
+                    help="override output directory (default: ./swarm_N)")
+    ap.add_argument("--steps-per-save", type=int, default=10)
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the run")
+    ap.add_argument("--resume", metavar="GSO_OUT",
+                    help="resume from a previous gso_N.out snapshot")
+    ap.add_argument("--resume-step", type=int, default=0,
+                    help="step number the snapshot corresponds to")
+    return ap
+
+
+def pick_energy_chunk(n_pairs: int, g: int, dtype_bytes: int) -> int:
+    """Bound the (chunk, Nr, Nl) working set to ~1.5 GB of intermediates."""
+    budget = int(1.5e9 / (6 * dtype_bytes))  # ~6 live pair-sized arrays
+    chunk = max(1, budget // max(n_pairs, 1))
+    if chunk >= g:
+        return 0  # no chunking needed
+    return chunk
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    logging.basicConfig(
+        level=os.environ.get("LIGHTDOCK_TPU_LOG", "INFO"),
+        format="%(levelname)s %(name)s: %(message)s")
+    log = logging.getLogger("lightdock_tpu")
+
+    from .simulation import load_simulation
+    from .utils.positions import parse_swarm_id
+
+    print(f"Reading starting positions from {args.positions!r}")
+    swarm_id = parse_swarm_id(args.positions)
+    print(f"Swarm ID {swarm_id}")
+    outdir = pathlib.Path(args.output_dir or f"swarm_{swarm_id}")
+    if not outdir.is_dir():
+        print(f"Output directory does not exist for swarm {swarm_id}, creating it",
+              file=sys.stderr)
+        outdir.mkdir(parents=True, exist_ok=True)
+    print(f"Writing to swarm dir {str(outdir)!r}")
+
+    print(f"Loading {args.method.upper()} scoring function")
+    sim = load_simulation(args.setup, args.positions, args.method,
+                          anm_dir=args.anm_dir)
+    print(f"Creating GSO with {sim.positions.shape[0]} glowworms")
+
+    start = time.time()
+    if args.engine == "host":
+        run_host(sim, args, outdir)
+    else:
+        run_jax(sim, args, outdir, log)
+    print(f"Done ({args.steps} steps) in {time.time() - start:.2f}s")
+    return 0
+
+
+def run_host(sim, args, outdir) -> None:
+    from .engine.gso_host import GsoHostEngine
+
+    engine = GsoHostEngine(sim.batch_params(), sim.positions, sim.seed,
+                           sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                           output_directory=str(outdir))
+    print(f"Starting optimization ({args.steps} steps)")
+    engine.run(args.steps)
+
+
+def run_jax(sim, args, outdir, log) -> None:
+    import jax
+    import numpy as np
+
+    backend = jax.default_backend()
+    dtype_name = args.dtype or ("float64" if backend == "cpu" else "float32")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+
+    from .engine.gso_jax import GsoJaxRunner
+
+    n_pairs = sim.receptor.num_atoms * sim.ligand.num_atoms
+    g = sim.positions.shape[0]
+    chunk = (args.energy_chunk if args.energy_chunk is not None
+             else pick_energy_chunk(n_pairs, g, np.dtype(dtype_name).itemsize))
+    log.info("backend=%s dtype=%s energy_chunk=%s pairs=%d",
+             backend, dtype_name, chunk, n_pairs)
+
+    runner = GsoJaxRunner(sim.batch_params(dtype=np.dtype(dtype_name)),
+                          sim.positions, sim.seed, sim.use_anm,
+                          sim.setup.anm_rec, sim.setup.anm_lig,
+                          output_directory=str(outdir), dtype=dtype,
+                          energy_chunk=chunk)
+    if args.resume:
+        runner.load_snapshot(args.resume, args.resume_step)
+    print(f"Starting optimization ({args.steps} steps)")
+    if args.profile:
+        with jax.profiler.trace(str(outdir / "jax_trace")):
+            runner.run(args.steps)
+        log.info("profiler trace written to %s", outdir / "jax_trace")
+    else:
+        runner.run(args.steps)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,52 @@ class BatchScoringParams:
     vdw_c_lig: Optional[np.ndarray] = None
     vdw_r_rec: Optional[np.ndarray] = None
     vdw_r_lig: Optional[np.ndarray] = None
+    # DFIRE fast path (gather-free step-function form; see dfire_step_tables)
+    dfire_dq: Optional[np.ndarray] = None          # (32, Nr, Nl) delta potentials
+    dfire_thresholds: Optional[np.ndarray] = None  # (32,) squared-distance steps
+
+
+def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
+                      pot_flat: np.ndarray, dist_to_bins: np.ndarray,
+                      dtype=np.float32):
+    """Gather-free DFIRE formulation for the device hot path.
+
+    The reference computes ``bin = DIST_TO_BINS[trunc(2*sqrt(d2) - 1)] - 1``
+    then gathers ``flat[ta*3380 + tb*20 + bin]`` per pair (reference
+    src/dfire.rs:336-338).  ``bin`` is a *monotone nondecreasing step
+    function of d2*, so the per-pair value can be written
+
+        contrib(i, j) = Q[i,j,0] + sum_k dQ[i,j,k] * [d2 >= s_k]
+
+    where ``Q[i,j,b]`` is the (spill-faithful) per-type-pair potential at
+    bin b, ``dQ`` its forward difference over b, and ``s_k = ((m_k+1)/2)^2``
+    the squared distance at which the bin first reaches value k (``m_k`` =
+    first DIST_TO_BINS slot with value-1 >= k).  On TPU this replaces a 571k
+    -entry gather per pair with ~31 fused compare+FMA lanes — no gather, no
+    sqrt, no integer ops.  Returns (dq (32, Nr, Nl), thresholds (32,));
+    thresholds[0] is 0 (bin 0 is the baseline term).
+    """
+    from ..scoring.potentials import potential_by_bins
+
+    num_bins = 32
+    p32 = potential_by_bins(pot_flat, num_bins)            # (169, 169, 32)
+    q = p32[receptor_types.astype(np.int64)[:, None],
+            ligand_types.astype(np.int64)[None, :], :]      # (Nr, Nl, 32)
+    dq = np.empty_like(q)
+    dq[..., 0] = q[..., 0]
+    dq[..., 1:] = q[..., 1:] - q[..., :-1]
+    dq = np.ascontiguousarray(np.moveaxis(dq, -1, 0)).astype(dtype)
+
+    bins_of_slot = np.asarray(dist_to_bins, dtype=np.int64) - 1  # value at trunc(d)=m
+    thresholds = np.zeros(num_bins, dtype=np.float64)
+    for k in range(1, num_bins):
+        slots = np.nonzero(bins_of_slot >= k)[0]
+        if slots.size == 0:
+            thresholds[k] = np.inf  # unreachable bin: step never fires
+        else:
+            m = slots[0]
+            thresholds[k] = ((m + 1) / 2.0) ** 2
+    return dq, thresholds.astype(dtype)
 
 
 def _res_onehot(model: DockingModel) -> np.ndarray:
@@ -73,7 +119,15 @@ def _res_onehot(model: DockingModel) -> np.ndarray:
 
 def build_batch_params(receptor: DockingModel, ligand: DockingModel,
                        use_anm: bool, dtype=np.float64,
-                       potential: Optional[np.ndarray] = None) -> BatchScoringParams:
+                       potential: Optional[np.ndarray] = None,
+                       dfire_mode: str = "auto") -> BatchScoringParams:
+    """Build device-ready scoring params.
+
+    dfire_mode: 'gather' keeps the reference-style flat-table gather (host
+    oracle / tests), 'steps' precomputes the gather-free (32, Nr, Nl)
+    step-function tables (device fast path; ~4B * 32 * Nr * Nl of HBM),
+    'auto' picks 'steps' for float32 and 'gather' for float64.
+    """
     method = receptor.method
     mem_mask = np.zeros(receptor.num_atoms, dtype=dtype)
     mem_mask[receptor.membrane] = 1.0
@@ -92,9 +146,15 @@ def build_batch_params(receptor: DockingModel, ligand: DockingModel,
     if method == "dfire":
         p.atom_types_rec = receptor.atom_types.astype(np.int32)
         p.atom_types_lig = ligand.atom_types.astype(np.int32)
-        p.potential = (potential if potential is not None
-                       else potentials.load_potential()).astype(dtype)
-        p.dist_to_bins = tables.dfire_tables()["dist_to_bins"].astype(np.int32)
+        pot = potential if potential is not None else potentials.load_potential()
+        p.potential = pot.astype(dtype)
+        d2b = tables.dfire_tables()["dist_to_bins"]
+        p.dist_to_bins = d2b.astype(np.int32)
+        if dfire_mode == "auto":
+            dfire_mode = "steps" if np.dtype(dtype) == np.float32 else "gather"
+        if dfire_mode == "steps":
+            p.dfire_dq, p.dfire_thresholds = dfire_step_tables(
+                p.atom_types_rec, p.atom_types_lig, pot, d2b, dtype=dtype)
     else:
         p.ele_rec = receptor.ele_charges.astype(dtype)
         p.ele_lig = ligand.ele_charges.astype(dtype)
@@ -159,7 +219,32 @@ def batch_energy(p: BatchScoringParams, t, q, a_rec, a_lig, xp=np):
     return _elec_vdw_batch(p, d2, xp)
 
 
-def _dfire_batch(p: BatchScoringParams, d2, xp=np):
+def batch_energy_parts(p: BatchScoringParams, t, q, a_rec, a_lig, xp=np):
+    """Partial reductions for receptor-atom-axis sharding.
+
+    With the receptor arrays of ``p`` holding only a shard of the atoms,
+    returns per-pose partials that an ``axis_name`` psum/pmax combines:
+    (raw (G,), iface_rec_local (G, Nr_local), iface_lig_partial (G, Nl)).
+    ``raw`` is the pre-affine pair sum; apply ``finalize_raw`` after the
+    cross-shard psum, then the bias (see parallel.sharded).
+    """
+    rec, lig = batch_pose_coords(p, t, q, a_rec, a_lig, xp)
+    d2 = _pair_d2(rec, lig, xp)
+    if p.method == "dfire":
+        return _dfire_parts(p, d2, xp)
+    return _elec_vdw_parts(p, d2, xp)
+
+
+def finalize_raw(p: BatchScoringParams, raw):
+    """Affine finish of the (possibly cross-shard-summed) raw pair sum."""
+    if p.method == "dfire":
+        return (raw * C.DFIRE_SCALE - C.DFIRE_OFFSET) * -1.0
+    return raw * -1.0
+
+
+def _dfire_parts(p: BatchScoringParams, d2, xp=np):
+    if p.dfire_dq is not None:
+        return _dfire_parts_steps(p, d2, xp)
     dtype = d2.dtype
     mask = d2 <= C.DFIRE_DIST_CUTOFF2
     d = xp.sqrt(xp.where(mask, d2, xp.ones_like(d2))) * 2.0 - 1.0
@@ -171,14 +256,40 @@ def _dfire_batch(p: BatchScoringParams, d2, xp=np):
            + bins)
     contrib = p.potential[idx]
     raw = xp.where(mask, contrib, xp.zeros_like(contrib)).sum(axis=(1, 2))
-    score = (raw * C.DFIRE_SCALE - C.DFIRE_OFFSET) * -1.0
     close = mask & (d <= C.INTERFACE_CUTOFF)
     iface_rec = close.any(axis=2).astype(dtype)
     iface_lig = close.any(axis=1).astype(dtype)
-    return _bias(p, score, iface_rec, iface_lig, xp)
+    return raw, iface_rec, iface_lig
 
 
-def _elec_vdw_batch(p: BatchScoringParams, d2, xp=np):
+def _dfire_parts_steps(p: BatchScoringParams, d2, xp=np):
+    """Gather-free DFIRE pair sum (see dfire_step_tables).
+
+    Per pair: baseline dq[0] plus one compare+FMA per threshold, all
+    elementwise on (G, Nr, Nl) tiles — the TPU-native hot loop.
+    """
+    dtype = d2.dtype
+    mask = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(dtype)
+    contrib = xp.broadcast_to(p.dfire_dq[0][None], d2.shape)
+    num_bins = p.dfire_dq.shape[0]
+    for k in range(1, num_bins):
+        fired = (d2 >= p.dfire_thresholds[k]).astype(dtype)
+        contrib = contrib + p.dfire_dq[k][None] * fired
+    raw = (contrib * mask).sum(axis=(1, 2))
+    # Interface on the scaled distance d <= 3.9 <=> d2 <= 2.45^2
+    # (reference src/dfire.rs:339 with d = 2*sqrt(d2) - 1).
+    close = d2 <= ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
+    iface_rec = close.any(axis=2).astype(dtype)
+    iface_lig = close.any(axis=1).astype(dtype)
+    return raw, iface_rec, iface_lig
+
+
+def _dfire_batch(p: BatchScoringParams, d2, xp=np):
+    raw, iface_rec, iface_lig = _dfire_parts(p, d2, xp)
+    return _bias(p, finalize_raw(p, raw), iface_rec, iface_lig, xp)
+
+
+def _elec_vdw_parts(p: BatchScoringParams, d2, xp=np):
     dtype = d2.dtype
     one = xp.ones_like(d2)
     d2_safe = xp.where(d2 > 0, d2, one)
@@ -197,9 +308,14 @@ def _elec_vdw_batch(p: BatchScoringParams, d2, xp=np):
     k = xp.minimum(vdw_energy * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
     total_vdw = xp.where(vdw_mask, k, xp.zeros_like(k)).sum(axis=(1, 2))
 
-    score = (total_elec * (C.FACTOR / C.EPSILON) + total_vdw) * -1.0
+    raw = total_elec * (C.FACTOR / C.EPSILON) + total_vdw
 
     close = d2 <= C.INTERFACE_CUTOFF2
     iface_rec = close.any(axis=2).astype(dtype)
     iface_lig = close.any(axis=1).astype(dtype)
-    return _bias(p, score, iface_rec, iface_lig, xp)
+    return raw, iface_rec, iface_lig
+
+
+def _elec_vdw_batch(p: BatchScoringParams, d2, xp=np):
+    raw, iface_rec, iface_lig = _elec_vdw_parts(p, d2, xp)
+    return _bias(p, finalize_raw(p, raw), iface_rec, iface_lig, xp)

@@ -1,0 +1,348 @@
+"""Batched GSO device engine (JAX): the TPU-native optimizer core.
+
+The reference iterates 200 glowworm objects sequentially (reference
+src/swarm.rs:66-126); here the swarm is a struct-of-arrays pytree with a
+leading glowworm axis and one optimization step is a single traced
+function: batched energies -> luciferin update -> (G, G) neighbor search ->
+vectorised roulette selection -> batched slerp/translation/ANM moves ->
+vision update.  The full run is ``jax.lax.scan`` over steps, jitted once.
+
+Semantics notes (all mirror the reference exactly):
+- Unmoved glowworms keep their score (reference src/glowworm.rs:61-69);
+  recomputing them on device yields bit-identical values because the
+  computation is deterministic, so the batched engine simply scores all G
+  every step — uniform work is faster than divergence on TPU.
+- Moves use the *pre-move* snapshot of all poses (src/swarm.rs:74-83).
+- Roulette selection reproduces the strict `sum < r` crossing rule
+  (src/glowworm.rs:114-126) via a masked cumulative sum.
+- The uniform stream (one f64 per glowworm per step, id order,
+  src/swarm.rs:118) is precomputed host-side by the bit-exact rand-0.7
+  port and passed in as a (steps, G) array, so device trajectories are
+  comparable with the reference / host engine run-for-run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..ops import quaternion as qt
+from .energy_batch import BatchScoringParams, batch_energy
+
+# -- pytree registration of the scoring params ------------------------------
+
+_STATIC_FIELDS = ("method", "use_anm", "rec_num_membrane")
+_ARRAY_FIELDS = tuple(
+    f.name for f in dataclasses.fields(BatchScoringParams)
+    if f.name not in _STATIC_FIELDS
+)
+
+
+def _params_flatten(p: BatchScoringParams):
+    children = tuple(getattr(p, name) for name in _ARRAY_FIELDS)
+    aux = tuple(getattr(p, name) for name in _STATIC_FIELDS)
+    return children, aux
+
+
+def _params_unflatten(aux, children):
+    kwargs = dict(zip(_ARRAY_FIELDS, children))
+    kwargs.update(dict(zip(_STATIC_FIELDS, aux)))
+    return BatchScoringParams(**kwargs)
+
+
+jax.tree_util.register_pytree_node(
+    BatchScoringParams, _params_flatten, _params_unflatten)
+
+
+def device_params(p: BatchScoringParams, dtype=None) -> BatchScoringParams:
+    """Copy params with array leaves as device arrays of ``dtype``."""
+    def conv(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if dtype is not None and np.issubdtype(x.dtype, np.floating):
+            x = x.astype(dtype)
+        return jnp.asarray(x)
+
+    children, aux = _params_flatten(p)
+    return _params_unflatten(aux, tuple(conv(c) for c in children))
+
+
+# -- state ------------------------------------------------------------------
+
+
+class SwarmState(NamedTuple):
+    """All mutable per-glowworm state, leading axis G (mirrors the fields
+    of reference src/glowworm.rs:6-26 minus the constants)."""
+
+    t: jnp.ndarray          # (G, 3) translations
+    q: jnp.ndarray          # (G, 4) rotations (w, x, y, z)
+    a_rec: jnp.ndarray      # (G, Ka_r) receptor ANM coefficients
+    a_lig: jnp.ndarray      # (G, Ka_l) ligand ANM coefficients
+    luciferin: jnp.ndarray  # (G,)
+    vision: jnp.ndarray     # (G,)
+    scoring: jnp.ndarray    # (G,)
+    num_neighbors: jnp.ndarray  # (G,) int32
+
+
+class StepOutput(NamedTuple):
+    """Per-step observables emitted by the scan (for snapshots/metrics)."""
+
+    t: jnp.ndarray
+    q: jnp.ndarray
+    a_rec: jnp.ndarray
+    a_lig: jnp.ndarray
+    luciferin: jnp.ndarray
+    vision: jnp.ndarray
+    scoring: jnp.ndarray
+    num_neighbors: jnp.ndarray
+
+
+def init_state(positions: np.ndarray, use_anm: bool, anm_rec: int, anm_lig: int,
+               dtype=jnp.float32) -> SwarmState:
+    from ..utils.positions import split_positions
+
+    t, q, ar, al = split_positions(np.asarray(positions, dtype=np.float64),
+                                   use_anm, anm_rec, anm_lig)
+    g = t.shape[0]
+    return SwarmState(
+        t=jnp.asarray(t, dtype=dtype),
+        q=jnp.asarray(q, dtype=dtype),
+        a_rec=jnp.asarray(ar, dtype=dtype),
+        a_lig=jnp.asarray(al, dtype=dtype),
+        luciferin=jnp.full((g,), C.GSO_INITIAL_LUCIFERIN, dtype=dtype),
+        vision=jnp.full((g,), C.GSO_INITIAL_VISION_RANGE, dtype=dtype),
+        scoring=jnp.zeros((g,), dtype=dtype),
+        num_neighbors=jnp.zeros((g,), dtype=jnp.int32),
+    )
+
+
+# -- energy with G-chunking -------------------------------------------------
+
+
+def batch_energy_chunked(params: BatchScoringParams, t, q, a_rec, a_lig,
+                         chunk: int = 0):
+    """Scores for G poses; ``chunk`` > 0 processes the glowworm axis in
+    chunks under lax.map to bound the (chunk, Nr, Nl) working set."""
+    g = t.shape[0]
+    if chunk <= 0 or chunk >= g:
+        return batch_energy(params, t, q, a_rec, a_lig, xp=jnp)
+    pad = (-g) % chunk
+    if pad:
+        t = jnp.concatenate([t, t[:pad]], axis=0)
+        q = jnp.concatenate([q, q[:pad]], axis=0)
+        a_rec = jnp.concatenate([a_rec, a_rec[:pad]], axis=0)
+        a_lig = jnp.concatenate([a_lig, a_lig[:pad]], axis=0)
+    n = t.shape[0] // chunk
+
+    def one(args):
+        return batch_energy(params, *args, xp=jnp)
+
+    scores = jax.lax.map(one, (
+        t.reshape(n, chunk, 3),
+        q.reshape(n, chunk, 4),
+        a_rec.reshape(n, chunk, -1),
+        a_lig.reshape(n, chunk, -1),
+    ))
+    return scores.reshape(-1)[:g]
+
+
+# -- one GSO step -----------------------------------------------------------
+
+
+def gso_step(params: BatchScoringParams, state: SwarmState, randoms,
+             energy_fn=None) -> tuple:
+    """One full GSO iteration; returns (new_state, StepOutput)."""
+    if energy_fn is None:
+        energy_fn = functools.partial(batch_energy_chunked, chunk=0)
+
+    g = state.t.shape[0]
+    dtype = state.t.dtype
+
+    # 1. Scoring + luciferin update (reference src/glowworm.rs:61-72).
+    scoring = energy_fn(params, state.t, state.q, state.a_rec, state.a_lig)
+    scoring = scoring.astype(dtype)
+    luciferin = (1.0 - C.GSO_RHO) * state.luciferin + C.GSO_GAMMA * scoring
+
+    # 2. Neighbor search (src/swarm.rs:86-102): j neighbor of i iff
+    #    L_i < L_j and dist(t_i, t_j) < vision_i.
+    diff = state.t[:, None, :] - state.t[None, :, :]
+    dist = jnp.sqrt((diff * diff).sum(-1))
+    brighter = luciferin[:, None] < luciferin[None, :]
+    mask = brighter & (dist < state.vision[:, None])
+    mask = mask & ~jnp.eye(g, dtype=bool)
+    num_neighbors = mask.sum(axis=1).astype(jnp.int32)
+    has_nb = mask.any(axis=1)
+
+    # 3. Roulette selection (src/glowworm.rs:98-126): weights are the
+    #    luciferin differences, normalised; select first neighbor whose
+    #    cumulative probability reaches the uniform draw.
+    w = jnp.where(mask, luciferin[None, :] - luciferin[:, None],
+                  jnp.zeros((), dtype))
+    cum = jnp.cumsum(w, axis=1)
+    total = cum[:, -1]
+    thresh = randoms.astype(dtype) * total
+    ge = (cum >= thresh[:, None]) & mask
+    # Float-safety net: guarantee the last neighbor is selectable even if
+    # rounding left the full cumulative sum a hair under the threshold.
+    col = jnp.arange(g)[None, :]
+    last_nb = (g - 1) - jnp.argmax(mask[:, ::-1], axis=1)
+    ge = ge | (mask & (col == last_nb[:, None]))
+    sel = jnp.argmax(ge, axis=1)
+    self_idx = jnp.arange(g)
+    sel = jnp.where(has_nb, sel, self_idx)
+    moved = has_nb
+
+    # 4. Movement toward the snapshotted pose (src/glowworm.rs:128-190).
+    mo = moved[:, None]
+    delta = state.t[sel] - state.t
+    norm = jnp.sqrt((delta * delta).sum(-1, keepdims=True))
+    norm = jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    t_new = jnp.where(mo, state.t + delta * (C.DEFAULT_TRANSLATION_STEP / norm), state.t)
+
+    q_slerped = qt.slerp(state.q, state.q[sel], C.DEFAULT_ROTATION_STEP, xp=jnp)
+    q_new = jnp.where(mo, q_slerped, state.q)
+
+    def move_anm(a):
+        if a.shape[1] == 0:
+            return a
+        d = a[sel] - a
+        n = jnp.sqrt((d * d).sum(-1, keepdims=True))
+        n = jnp.where(n > 0, n, jnp.ones_like(n))
+        return jnp.where(mo, a + d * (C.DEFAULT_NMODES_STEP / n), a)
+
+    a_rec_new = move_anm(state.a_rec) if params.use_anm else state.a_rec
+    a_lig_new = move_anm(state.a_lig) if params.use_anm else state.a_lig
+
+    # 5. Vision-range update (src/glowworm.rs:91-96).
+    vision = jnp.minimum(
+        C.GSO_MAX_VISION_RANGE,
+        jnp.maximum(0.0, state.vision + C.GSO_BETA
+                    * (C.GSO_MAX_NEIGHBORS - num_neighbors.astype(dtype))))
+
+    new_state = SwarmState(t_new, q_new, a_rec_new, a_lig_new,
+                           luciferin, vision, scoring, num_neighbors)
+    out = StepOutput(t_new, q_new, a_rec_new, a_lig_new,
+                     luciferin, vision, scoring, num_neighbors)
+    return new_state, out
+
+
+def run_swarm(params: BatchScoringParams, state: SwarmState, randoms,
+              energy_chunk: int = 0):
+    """Scan ``steps`` GSO iterations; randoms is (steps, G).
+
+    Returns (final_state, StepOutput stacked over steps).  Jit this via
+    ``make_runner`` (donates/jits once per shape set).
+    """
+    energy_fn = functools.partial(batch_energy_chunked, chunk=energy_chunk)
+
+    def body(st, r):
+        return gso_step(params, st, r, energy_fn=energy_fn)
+
+    return jax.lax.scan(body, state, randoms)
+
+
+@functools.partial(jax.jit, static_argnames=("energy_chunk",))
+def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
+    return run_swarm(params, state, randoms, energy_chunk)
+
+
+# -- host-facing runner -----------------------------------------------------
+
+
+class GsoJaxRunner:
+    """Host wrapper: precomputes the RNG stream, jits the scan, writes
+    snapshots in the reference cadence/format."""
+
+    def __init__(self, params: BatchScoringParams, positions, seed: int,
+                 use_anm: bool, anm_rec: int, anm_lig: int,
+                 output_directory: Optional[str] = None,
+                 dtype=jnp.float32, energy_chunk: int = 0):
+        from ..utils.rng import uniform_f64_stream
+
+        self.params = device_params(params, dtype=dtype)
+        self.state = init_state(positions, use_anm, anm_rec, anm_lig, dtype=dtype)
+        self.seed = seed
+        self.use_anm = use_anm
+        self.output_directory = output_directory
+        self.energy_chunk = energy_chunk
+        self._stream = functools.partial(uniform_f64_stream, seed)
+        self._start_step = 0  # completed steps (for resume)
+
+    def load_snapshot(self, path, step: int) -> None:
+        """Resume from a gso_N.out snapshot written at ``step``.
+
+        Snapshots carry the full swarm state except the RNG position, which
+        is reconstructed as step*G consumed draws (the stream is exactly
+        one draw per glowworm per step, reference src/swarm.rs:118).  This
+        is the resume path the reference lacks (it always restarts from
+        initial_positions, reference src/bin/lightdock-rust.rs:188).
+        """
+        from ..utils.output import read_gso_output
+        from ..utils.positions import split_positions
+
+        poses, luc, nn, vis, sco = read_gso_output(path)
+        t, q, ar, al = split_positions(poses, self.use_anm,
+                                       self.state.a_rec.shape[1],
+                                       self.state.a_lig.shape[1])
+        dtype = self.state.t.dtype
+        self.state = SwarmState(
+            t=jnp.asarray(t, dtype=dtype),
+            q=jnp.asarray(q, dtype=dtype),
+            a_rec=jnp.asarray(ar, dtype=dtype),
+            a_lig=jnp.asarray(al, dtype=dtype),
+            luciferin=jnp.asarray(luc, dtype=dtype),
+            vision=jnp.asarray(vis, dtype=dtype),
+            scoring=jnp.asarray(sco, dtype=dtype),
+            num_neighbors=jnp.asarray(nn, dtype=jnp.int32),
+        )
+        self._start_step = int(step)
+
+    def run(self, steps: int):
+        g = self.state.t.shape[0]
+        start = self._start_step
+        remaining = steps - start
+        if remaining <= 0:
+            return self.state, None
+        randoms = self._stream(steps * g)[start * g:].reshape(remaining, g)
+        randoms = jnp.asarray(randoms, dtype=self.state.t.dtype)
+        final_state, outs = run_swarm_jit(self.params, self.state, randoms,
+                                          energy_chunk=self.energy_chunk)
+        self.state = jax.block_until_ready(final_state)
+        if self.output_directory is not None:
+            self._write_snapshots(outs, steps, start)
+        self._start_step = steps
+        return final_state, outs
+
+    def _poses_at(self, outs: StepOutput, i: int) -> np.ndarray:
+        cols = [np.asarray(outs.t[i]), np.asarray(outs.q[i])]
+        if self.use_anm and outs.a_rec.shape[-1] > 0:
+            cols.append(np.asarray(outs.a_rec[i]))
+        if self.use_anm and outs.a_lig.shape[-1] > 0:
+            cols.append(np.asarray(outs.a_lig[i]))
+        return np.concatenate(cols, axis=1).astype(np.float64)
+
+    def _write_snapshots(self, outs: StepOutput, steps: int, start: int = 0):
+        import pathlib
+
+        from ..utils.output import write_gso_output
+
+        outdir = pathlib.Path(self.output_directory)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for step in range(start + 1, steps + 1):
+            if step % 10 == 0 or step == 1:
+                i = step - 1 - start
+                write_gso_output(
+                    outdir / f"gso_{step}.out",
+                    self._poses_at(outs, i),
+                    np.asarray(outs.luciferin[i], dtype=np.float64),
+                    np.asarray(outs.num_neighbors[i]),
+                    np.asarray(outs.vision[i], dtype=np.float64),
+                    np.asarray(outs.scoring[i], dtype=np.float64),
+                )

@@ -8,13 +8,16 @@ not available in CI; the sharding code paths are identical.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment may pin JAX_PLATFORMS to a TPU tunnel; tests always run
+# on the host CPU platform with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
