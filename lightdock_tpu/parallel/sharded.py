@@ -37,8 +37,8 @@ from ..engine.energy_batch import (BatchScoringParams, batch_energy_parts,
 from ..engine.gso_jax import SwarmState, gso_step, run_swarm
 from .mesh import ATOM_AXIS, SWARM_AXIS, replicate_params, shard_swarm_states
 
-try:  # JAX >= 0.4.35 moved shard_map out of experimental
-    from jax.sharding import shard_map  # type: ignore
+try:  # modern JAX exposes shard_map at the top level
+    from jax import shard_map  # type: ignore
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
@@ -189,8 +189,7 @@ def run_single_swarm_atom_sharded(mesh: Mesh, params: BatchScoringParams,
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(specs, P(), P()),
-                   out_specs=(P(), P()),
-                   check_rep=False)
+                   out_specs=(P(), P()))
     return jax.jit(fn)(params, state, jnp.asarray(randoms, state.t.dtype))
 
 
@@ -220,7 +219,6 @@ def run_multi_swarm_2d(mesh: Mesh, params: BatchScoringParams,
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(specs, state_spec, P(None, SWARM_AXIS)),
-                   out_specs=(out_state_spec, out_steps_spec),
-                   check_rep=False)
+                   out_specs=(out_state_spec, out_steps_spec))
     return jax.jit(fn)(params, states,
                        jnp.asarray(randoms, states.t.dtype))
