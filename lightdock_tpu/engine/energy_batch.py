@@ -97,6 +97,13 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
     dq[..., 1:] = q[..., 1:] - q[..., :-1]
     dq = np.ascontiguousarray(np.moveaxis(dq, -1, 0)).astype(dtype)
 
+    thresholds = dfire_bin_thresholds(dist_to_bins, num_bins)
+    return dq, thresholds.astype(dtype)
+
+
+def dfire_bin_thresholds(dist_to_bins, num_bins: int = 32) -> np.ndarray:
+    """Squared-distance thresholds s_k at which the DFIRE bin value first
+    reaches k (see dfire_step_tables); s_0 = 0 (the baseline bin)."""
     bins_of_slot = np.asarray(dist_to_bins, dtype=np.int64) - 1  # value at trunc(d)=m
     thresholds = np.zeros(num_bins, dtype=np.float64)
     for k in range(1, num_bins):
@@ -106,7 +113,7 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
         else:
             m = slots[0]
             thresholds[k] = ((m + 1) / 2.0) ** 2
-    return dq, thresholds.astype(dtype)
+    return thresholds
 
 
 def _res_onehot(model: DockingModel) -> np.ndarray:

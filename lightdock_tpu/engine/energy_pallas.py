@@ -1,0 +1,131 @@
+"""Pallas-kernel energy path: drop-in ``energy_fn`` for the GSO engine.
+
+Bridges the batched scoring parameters to the ops.pallas_energy kernels:
+host-side one-time tile geometry for the conservative cull, then a traced
+function (pose transform in XLA -> Pallas pair kernel -> XLA bias) with
+the same signature as engine.energy_batch.batch_energy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quaternion as qt
+from ..ops.pallas_energy import (L_TILE, R_TILE, anm_mode_bounds, cull_mask,
+                                 dfire_pairs_pallas, elec_vdw_pairs_pallas,
+                                 morton_order, pose_slack, tile_geometry)
+from .energy_batch import (BatchScoringParams, _bias, dfire_bin_thresholds,
+                           finalize_raw)
+
+
+def spatial_sort_params(params: BatchScoringParams) -> BatchScoringParams:
+    """Permute both atom axes into Morton (Z-curve) order.
+
+    Semantically free — every per-atom array (coordinates, ANM modes,
+    types/charges, restraint one-hots, membrane mask, DFIRE tables) is
+    permuted consistently, so energies and biases are unchanged — but tile
+    bounding spheres become compact, which is what makes the conservative
+    cull effective.
+    """
+    pr = morton_order(params.rec_coords)
+    pl_ = morton_order(params.lig_coords)
+
+    def take(x, axis, perm):
+        return None if x is None else np.take(np.asarray(x), perm, axis=axis)
+
+    return dataclasses.replace(
+        params,
+        rec_coords=take(params.rec_coords, 0, pr),
+        rec_nmodes=take(params.rec_nmodes, 1, pr),
+        rec_res_onehot=take(params.rec_res_onehot, 1, pr),
+        rec_membrane_mask=take(params.rec_membrane_mask, 0, pr),
+        lig_coords=take(params.lig_coords, 0, pl_),
+        lig_nmodes=take(params.lig_nmodes, 1, pl_),
+        lig_res_onehot=take(params.lig_res_onehot, 1, pl_),
+        atom_types_rec=take(params.atom_types_rec, 0, pr),
+        atom_types_lig=take(params.atom_types_lig, 0, pl_),
+        ele_rec=take(params.ele_rec, 0, pr),
+        ele_lig=take(params.ele_lig, 0, pl_),
+        vdw_c_rec=take(params.vdw_c_rec, 0, pr),
+        vdw_c_lig=take(params.vdw_c_lig, 0, pl_),
+        vdw_r_rec=take(params.vdw_r_rec, 0, pr),
+        vdw_r_lig=take(params.vdw_r_lig, 0, pl_),
+        dfire_dq=(None if params.dfire_dq is None
+                  else np.asarray(params.dfire_dq)[:, pr][:, :, pl_]),
+    )
+
+
+def make_pallas_energy_fn(params: BatchScoringParams,
+                          interpret: bool = False,
+                          cull: bool = True):
+    """Build energy_fn(params, t, q, a_rec, a_lig) -> (G,) scores.
+
+    The returned closure captures only small host-side geometry constants
+    (tile bounding spheres, ANM mode bounds, bin thresholds); all large
+    tensors flow through the ``params`` pytree argument.
+    """
+    method = params.method
+    nr = params.rec_coords.shape[0]
+    nl = params.lig_coords.shape[0]
+    rec_centers, rec_radii = tile_geometry(params.rec_coords, R_TILE)
+    lig_centers, lig_radii = tile_geometry(params.lig_coords, L_TILE)
+    rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
+    lig_bounds = anm_mode_bounds(params.lig_nmodes) if params.use_anm else np.zeros(0)
+    cutoff = 15.0 if method == "dfire" else 30.0
+    if method == "dfire":
+        if params.dfire_dq is None:
+            raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
+        thresholds = tuple(dfire_bin_thresholds(np.asarray(params.dist_to_bins)))
+    n_r = -(-nr // R_TILE)
+    n_l = -(-nl // L_TILE)
+
+    dtype = np.dtype(params.rec_coords.dtype)
+    rc = jnp.asarray(rec_centers, dtype=dtype)
+    rr = jnp.asarray(rec_radii, dtype=dtype)
+    lc = jnp.asarray(lig_centers, dtype=dtype)
+    lr = jnp.asarray(lig_radii, dtype=dtype)
+
+    # Re-center so the MXU |r|^2/|l|^2 expansion in the kernel keeps
+    # precision (d2 is translation-invariant; see _tile_distances).
+    center = jnp.asarray(np.asarray(params.rec_coords, dtype=np.float64)
+                         .mean(axis=0).astype(dtype))
+
+    def energy_fn(p: BatchScoringParams, t, q, a_rec, a_lig):
+        g = t.shape[0]
+        rot = qt.rotation_matrix(q, jnp)                     # (G, 3, 3)
+        # Ligand: rotate + translate + ANM, laid out (G, 3, Nl).
+        lig = jnp.einsum("gab,nb->gan", rot, p.lig_coords)   # (G, 3, Nl)
+        lig = lig + (t - center[None, :])[:, :, None]
+        if p.use_anm and p.lig_nmodes.shape[0] > 0:
+            lig = lig + jnp.einsum("gk,knc->gcn", a_lig, p.lig_nmodes)
+        # Receptor: ANM only, laid out (G, 3, Nr).
+        rec_base = p.rec_coords - center[None, :]
+        if p.use_anm and p.rec_nmodes.shape[0] > 0:
+            rec = rec_base[None] + jnp.einsum("gk,knc->gnc", a_rec, p.rec_nmodes)
+            rec_all = jnp.transpose(rec, (0, 2, 1))          # (G, 3, Nr)
+        else:
+            rec_all = jnp.broadcast_to(rec_base.T[None], (g, 3, nr))
+
+        if cull:
+            rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
+            ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
+            act = cull_mask(rc, rr, lc, lr, t, rot, rs, ls, cutoff)
+        else:
+            act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
+
+        if method == "dfire":
+            raw, ifr, ifl = dfire_pairs_pallas(
+                rec_all, lig, p.dfire_dq, thresholds, act, interpret=interpret)
+        else:
+            raw, ifr, ifl = elec_vdw_pairs_pallas(
+                rec_all, lig, p.ele_rec, p.ele_lig, p.vdw_c_rec, p.vdw_c_lig,
+                p.vdw_r_rec, p.vdw_r_lig, act, interpret=interpret)
+
+        score = finalize_raw(p, raw)
+        return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)
+
+    return energy_fn

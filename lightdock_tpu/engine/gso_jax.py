@@ -234,13 +234,15 @@ def gso_step(params: BatchScoringParams, state: SwarmState, randoms,
 
 
 def run_swarm(params: BatchScoringParams, state: SwarmState, randoms,
-              energy_chunk: int = 0):
+              energy_chunk: int = 0, energy_fn=None):
     """Scan ``steps`` GSO iterations; randoms is (steps, G).
 
-    Returns (final_state, StepOutput stacked over steps).  Jit this via
-    ``make_runner`` (donates/jits once per shape set).
+    Returns (final_state, StepOutput stacked over steps).  ``energy_fn``
+    overrides the XLA pair-energy path (e.g. the Pallas kernels from
+    engine.energy_pallas).
     """
-    energy_fn = functools.partial(batch_energy_chunked, chunk=energy_chunk)
+    if energy_fn is None:
+        energy_fn = functools.partial(batch_energy_chunked, chunk=energy_chunk)
 
     def body(st, r):
         return gso_step(params, st, r, energy_fn=energy_fn)
@@ -263,9 +265,15 @@ class GsoJaxRunner:
     def __init__(self, params: BatchScoringParams, positions, seed: int,
                  use_anm: bool, anm_rec: int, anm_lig: int,
                  output_directory: Optional[str] = None,
-                 dtype=jnp.float32, energy_chunk: int = 0):
+                 dtype=jnp.float32, energy_chunk: int = 0,
+                 energy_mode: str = "xla", cull: bool = True):
         from ..utils.rng import uniform_f64_stream
 
+        if energy_mode == "pallas":
+            # Morton-sort the atom axes so the conservative tile cull bites
+            # (semantics unchanged; see energy_pallas.spatial_sort_params).
+            from .energy_pallas import spatial_sort_params
+            params = spatial_sort_params(params)
         self.params = device_params(params, dtype=dtype)
         self.state = init_state(positions, use_anm, anm_rec, anm_lig, dtype=dtype)
         self.seed = seed
@@ -274,6 +282,16 @@ class GsoJaxRunner:
         self.energy_chunk = energy_chunk
         self._stream = functools.partial(uniform_f64_stream, seed)
         self._start_step = 0  # completed steps (for resume)
+        if energy_mode == "pallas":
+            from .energy_pallas import make_pallas_energy_fn
+            energy_fn = make_pallas_energy_fn(params, cull=cull)
+            self._run_jit = jax.jit(
+                lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
+        elif energy_mode == "xla":
+            self._run_jit = functools.partial(
+                run_swarm_jit, energy_chunk=energy_chunk)
+        else:
+            raise ValueError(f"unknown energy_mode {energy_mode!r}")
 
     def load_snapshot(self, path, step: int) -> None:
         """Resume from a gso_N.out snapshot written at ``step``.
@@ -312,8 +330,7 @@ class GsoJaxRunner:
             return self.state, None
         randoms = self._stream(steps * g)[start * g:].reshape(remaining, g)
         randoms = jnp.asarray(randoms, dtype=self.state.t.dtype)
-        final_state, outs = run_swarm_jit(self.params, self.state, randoms,
-                                          energy_chunk=self.energy_chunk)
+        final_state, outs = self._run_jit(self.params, self.state, randoms)
         self.state = jax.block_until_ready(final_state)
         if self.output_directory is not None:
             self._write_snapshots(outs, steps, start)

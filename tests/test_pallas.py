@@ -1,0 +1,139 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs the XLA batch path.
+
+Compiled-mode equivalence on real TPU hardware is exercised by bench.py and
+the tpu-marked tests; here the kernels run under the Pallas interpreter,
+which validates indexing, accumulation, padding and culling semantics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightdock_tpu.engine.energy_batch import batch_energy, build_batch_params
+from lightdock_tpu.engine.energy_pallas import make_pallas_energy_fn
+from lightdock_tpu.engine.gso_jax import device_params
+from lightdock_tpu.ops import pallas_energy as pe
+from lightdock_tpu.scoring.models import DockingModel
+from lightdock_tpu.scoring.potentials import synthetic_potential
+
+
+def _system(method, n_rec=300, n_lig=170, num_anm=2, seed=3, spread=40):
+    rng = np.random.RandomState(seed)
+
+    def model(n):
+        kw = {}
+        if method == "dfire":
+            kw["atom_types"] = rng.randint(0, 168, size=n).astype(np.int32)
+        else:
+            kw.update(ele_charges=rng.uniform(-1, 1, n),
+                      vdw_charges=rng.uniform(0, 0.5, n),
+                      vdw_radii=rng.uniform(0.5, 2.5, n))
+        return DockingModel(
+            method=method,
+            coordinates=rng.uniform(-spread, spread, size=(n, 3)),
+            num_anm=num_anm,
+            nmodes=rng.standard_normal((num_anm, n, 3)) * 0.2,
+            membrane=np.array([0, 5], dtype=np.int64),
+            active_restraints={"A.1": [1, 2], "A.2": [7]},
+            passive_restraints={},
+            **kw)
+
+    params = build_batch_params(
+        model(n_rec), model(n_lig), use_anm=num_anm > 0, dtype=np.float32,
+        potential=synthetic_potential() if method == "dfire" else None,
+        dfire_mode="steps")
+    g = 37  # not a multiple of 32: exercises cull-bit packing tails
+    t = rng.uniform(-30, 30, (g, 3)).astype(np.float32)
+    q = rng.standard_normal((g, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    a_r = rng.uniform(-1, 1, (g, num_anm)).astype(np.float32)
+    a_l = rng.uniform(-1, 1, (g, num_anm)).astype(np.float32)
+    return params, (jnp.asarray(t), jnp.asarray(q), jnp.asarray(a_r), jnp.asarray(a_l))
+
+
+@pytest.mark.parametrize("method,tol", [("dfire", 5e-6), ("dna", 1e-3),
+                                        ("pydock", 1e-3)])
+def test_pallas_matches_xla(method, tol):
+    params, pose = _system(method)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True)(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=tol)
+
+
+def test_culling_is_conservative():
+    """Culled and uncalled paths must agree exactly: every culled tile has
+    provably zero contribution."""
+    params, pose = _system("dfire")
+    dp = device_params(params, np.float32)
+    culled = make_pallas_energy_fn(params, interpret=True, cull=True)(dp, *pose)
+    full = make_pallas_energy_fn(params, interpret=True, cull=False)(dp, *pose)
+    np.testing.assert_array_equal(np.asarray(culled), np.asarray(full))
+
+
+def test_spatial_sort_preserves_energies():
+    from lightdock_tpu.engine.energy_pallas import spatial_sort_params
+    params, pose = _system("dfire")
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    sorted_params = spatial_sort_params(params)
+    dps = device_params(sorted_params, np.float32)
+    out = batch_energy(dps, *pose, xp=jnp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_culling_actually_culls():
+    """With Morton-sorted atoms and distant poses, most tile-pose work must
+    be skipped (sanity that the mask is not trivially all-ones)."""
+    from lightdock_tpu.engine.energy_pallas import spatial_sort_params
+    from lightdock_tpu.ops import quaternion as qt
+    params, pose = _system("dfire", spread=60)
+    params = spatial_sort_params(params)
+    t, q, ar, al = pose
+    rc, rr = pe.tile_geometry(params.rec_coords, pe.R_TILE)
+    lc, lr = pe.tile_geometry(params.lig_coords, pe.L_TILE)
+    rot = qt.rotation_matrix(q, jnp)
+    act = pe.cull_mask(jnp.asarray(rc, jnp.float32), jnp.asarray(rr, jnp.float32),
+                       jnp.asarray(lc, jnp.float32), jnp.asarray(lr, jnp.float32),
+                       t * 6.0, rot,  # push poses far out
+                       jnp.zeros(t.shape[0]), jnp.zeros(t.shape[0]), 15.0)
+    frac = float(np.asarray(act).mean())
+    assert frac < 0.7
+
+
+def test_pack_cull_bits_roundtrip():
+    rng = np.random.RandomState(1)
+    act = (rng.rand(5, 7, 37) > 0.5).astype(np.int32)
+    words = np.asarray(pe.pack_cull_bits(jnp.asarray(act)))
+    assert words.shape == (5, 7, 2)
+    for r in range(5):
+        for l in range(7):
+            for g in range(37):
+                bit = (int(words[r, l, g // 32]) >> (g % 32)) & 1
+                assert bit == act[r, l, g]
+
+
+def test_tile_geometry_padding():
+    coords = np.random.RandomState(0).uniform(-5, 5, (200, 3))
+    centers, radii = pe.tile_geometry(coords, 128)
+    assert centers.shape == (2, 3) and radii.shape == (2,)
+    assert np.isfinite(radii).all()
+    # A fully-padded tile gets -inf radius.
+    centers2, radii2 = pe.tile_geometry(coords[:128], 128)
+    assert radii2.shape == (1,)
+    coords3 = np.zeros((0, 3))
+    # degenerate empty input should not crash
+    c3, r3 = pe.tile_geometry(coords3.reshape(0, 3), 128) if len(coords3) else (None, None)
+
+
+def test_anm_slack_bound():
+    rng = np.random.RandomState(2)
+    nmodes = rng.standard_normal((4, 50, 3))
+    bounds = pe.anm_mode_bounds(nmodes)
+    coefs = rng.uniform(-2, 2, (9, 4))
+    slack = np.asarray(pe.pose_slack(jnp.asarray(coefs), bounds))
+    # The bound must dominate every actual per-atom displacement norm.
+    disp = np.einsum("gk,kna->gna", coefs, nmodes)
+    actual = np.linalg.norm(disp, axis=-1).max(axis=1)
+    assert (slack + 1e-9 >= actual).all()
