@@ -43,6 +43,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output-dir", default=None,
                     help="override output directory (default: ./swarm_N)")
     ap.add_argument("--steps-per-save", type=int, default=10)
+    ap.add_argument("--energy-mode", choices=["xla", "pallas"], default="xla",
+                    help="pair-energy backend: fused XLA (default) or the "
+                         "Pallas kernels with spatial tile culling")
+    ap.add_argument("--jax-rng", action="store_true",
+                    help="use the native device RNG instead of the bit-exact "
+                         "reference (rand 0.7) stream")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the run")
     ap.add_argument("--resume", metavar="GSO_OUT",
@@ -71,6 +77,16 @@ def main(argv=None) -> int:
     from .simulation import load_simulation
     from .utils.positions import parse_swarm_id
 
+    # Multi-swarm mode: a glob or comma-separated list of positions files
+    # runs all swarms batched in one device program (the built-in
+    # replacement for the reference's external process farm).
+    import glob as _glob
+    multi = ([p for part in args.positions.split(",") for p in sorted(_glob.glob(part))]
+             if ("," in args.positions or any(c in args.positions for c in "*?["))
+             else None)
+    if multi and len(multi) >= 1:
+        return run_multi(args, multi, log)
+
     print(f"Reading starting positions from {args.positions!r}")
     swarm_id = parse_swarm_id(args.positions)
     print(f"Swarm ID {swarm_id}")
@@ -92,6 +108,52 @@ def main(argv=None) -> int:
     else:
         run_jax(sim, args, outdir, log)
     print(f"Done ({args.steps} steps) in {time.time() - start:.2f}s")
+    return 0
+
+
+def run_multi(args, positions_files, log) -> int:
+    """Batched multi-swarm execution: all swarms in one jitted program,
+    sharded over the available devices."""
+    import jax
+    import numpy as np
+
+    from .parallel.multihost import maybe_initialize_distributed, run_swarm_farm
+    from .simulation import load_simulation
+    from .utils.positions import parse_positions, parse_swarm_id
+
+    maybe_initialize_distributed()
+    backend = jax.default_backend()
+    dtype_name = args.dtype or ("float64" if backend == "cpu" else "float32")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+
+    sim = load_simulation(args.setup, positions_files[0], args.method,
+                          anm_dir=args.anm_dir)
+    swarm_ids = [parse_swarm_id(p) for p in positions_files]
+    positions_list = [parse_positions(p) for p in positions_files]
+    print(f"Running {len(positions_list)} swarms x "
+          f"{positions_list[0].shape[0]} glowworms on {len(jax.devices())} "
+          f"device(s) [{backend}]")
+
+    n_pairs = sim.receptor.num_atoms * sim.ligand.num_atoms
+    g = positions_list[0].shape[0]
+    chunk = (args.energy_chunk if args.energy_chunk is not None
+             else pick_energy_chunk(n_pairs, g, np.dtype(dtype_name).itemsize))
+
+    import time
+    t0 = time.time()
+    run_swarm_farm(sim.batch_params(dtype=np.dtype(dtype_name)),
+                   positions_list, swarm_ids, sim.seed, args.steps,
+                   sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                   dtype, output_root=args.output_dir or ".",
+                   energy_chunk=chunk)
+    dt = time.time() - t0
+    total_poses = len(positions_list) * g * args.steps
+    print(f"Done: {len(positions_list)} swarms x {args.steps} steps in "
+          f"{dt:.2f}s ({total_poses / dt:.0f} poses/s aggregate)")
     return 0
 
 
@@ -130,7 +192,9 @@ def run_jax(sim, args, outdir, log) -> None:
                           sim.positions, sim.seed, sim.use_anm,
                           sim.setup.anm_rec, sim.setup.anm_lig,
                           output_directory=str(outdir), dtype=dtype,
-                          energy_chunk=chunk)
+                          energy_chunk=chunk,
+                          energy_mode=args.energy_mode,
+                          rng_mode="native" if args.jax_rng else "reference")
     if args.resume:
         runner.load_snapshot(args.resume, args.resume_step)
     print(f"Starting optimization ({args.steps} steps)")

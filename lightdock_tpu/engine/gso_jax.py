@@ -266,7 +266,8 @@ class GsoJaxRunner:
                  use_anm: bool, anm_rec: int, anm_lig: int,
                  output_directory: Optional[str] = None,
                  dtype=jnp.float32, energy_chunk: int = 0,
-                 energy_mode: str = "xla", cull: bool = True):
+                 energy_mode: str = "xla", cull: bool = True,
+                 rng_mode: str = "reference"):
         from ..utils.rng import uniform_f64_stream
 
         if energy_mode == "pallas":
@@ -280,7 +281,18 @@ class GsoJaxRunner:
         self.use_anm = use_anm
         self.output_directory = output_directory
         self.energy_chunk = energy_chunk
-        self._stream = functools.partial(uniform_f64_stream, seed)
+        if rng_mode == "reference":
+            # Bit-exact rand-0.7 stream (host-side, comparable with the
+            # reference engine run-for-run).
+            self._stream = functools.partial(uniform_f64_stream, seed)
+        elif rng_mode == "native":
+            # JAX-native threefry stream, generated on device.
+            def native_stream(n):
+                key = jax.random.PRNGKey(seed)
+                return jax.random.uniform(key, (n,), dtype=jnp.float32)
+            self._stream = native_stream
+        else:
+            raise ValueError(f"unknown rng_mode {rng_mode!r}")
         self._start_step = 0  # completed steps (for resume)
         if energy_mode == "pallas":
             from .energy_pallas import make_pallas_energy_fn

@@ -1,0 +1,147 @@
+"""Multi-swarm / multi-host orchestration.
+
+The reference farms swarms out as independent OS processes from a task
+list (reference example/1czy/execution.sh:21-24, one process per
+initial_positions_N.dat).  Here swarms are a batch axis: S swarms run in
+one jitted program, sharded over the mesh's ``swarm`` axis — one chip runs
+many swarms at once, a pod slice runs S/devices each, and multiple hosts
+cooperate through ``jax.distributed`` with zero cross-swarm traffic
+(the algorithm has none; SURVEY §5).
+
+Every swarm uses the same RNG stream (the reference seeds every swarm
+process with the same setup.json seed, reference src/lib.rs:38).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..engine.gso_jax import SwarmState, init_state
+from ..utils.rng import uniform_f64_stream
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialise jax.distributed from standard env vars when present.
+
+    Uses JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    (or their jax defaults on cloud TPU).  Returns True when running
+    multi-process.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    return jax.process_count() > 1
+
+
+def stack_swarm_states(positions_list: Sequence[np.ndarray], use_anm: bool,
+                       anm_rec: int, anm_lig: int, dtype) -> SwarmState:
+    """Batch S swarms' initial positions into one leading-axis state."""
+    states = [init_state(p, use_anm, anm_rec, anm_lig, dtype=dtype)
+              for p in positions_list]
+    return jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *states)
+
+
+def swarm_randoms(seed: int, steps: int, n_swarms: int, g: int,
+                  start_step: int = 0) -> np.ndarray:
+    """(steps, S, G) uniform draws; identical stream per swarm (matching
+    the reference's per-process seeding)."""
+    r = uniform_f64_stream(seed, steps * g)[start_step * g:]
+    r = r.reshape(-1, g)
+    return np.broadcast_to(r[:, None, :], (r.shape[0], n_swarms, g)).copy()
+
+
+def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
+                        steps: int, output_root=".", start_step: int = 0,
+                        swarm_axis: int = 1) -> None:
+    """Write swarm_N/gso_step.out files from stacked StepOutput.
+
+    ``outs`` leaves are (steps, S, ...) (or (S, steps, ...) with
+    swarm_axis=0).  In multi-process runs each host only writes swarms it
+    can address.
+    """
+    from ..utils.output import write_gso_output
+
+    root = pathlib.Path(output_root)
+    for s_idx, swarm_id in enumerate(swarm_ids):
+        outdir = root / f"swarm_{swarm_id}"
+
+        def leaf(x, i):
+            if swarm_axis == 1:
+                return np.asarray(x[i, s_idx])
+            return np.asarray(x[s_idx, i])
+
+        first = True
+        for step in range(start_step + 1, steps + 1):
+            if not (step % 10 == 0 or step == 1):
+                continue
+            i = step - 1 - start_step
+            if first:
+                outdir.mkdir(parents=True, exist_ok=True)
+                first = False
+            cols = [leaf(outs.t, i), leaf(outs.q, i)]
+            if use_anm and outs.a_rec.shape[-1] > 0:
+                cols.append(leaf(outs.a_rec, i))
+            if use_anm and outs.a_lig.shape[-1] > 0:
+                cols.append(leaf(outs.a_lig, i))
+            poses = np.concatenate(cols, axis=1).astype(np.float64)
+            write_gso_output(outdir / f"gso_{step}.out", poses,
+                             leaf(outs.luciferin, i).astype(np.float64),
+                             leaf(outs.num_neighbors, i),
+                             leaf(outs.vision, i).astype(np.float64),
+                             leaf(outs.scoring, i).astype(np.float64))
+
+
+def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
+                   swarm_ids: List[int], seed: int, steps: int,
+                   use_anm: bool, anm_rec: int, anm_lig: int,
+                   dtype, output_root=".", energy_chunk: int = 0,
+                   n_atom_shards: int = 1,
+                   devices: Optional[Sequence] = None) -> None:
+    """Run S swarms to completion and write their outputs.
+
+    Single entry point used by the CLI multi-swarm mode: builds the mesh
+    over available devices ((swarm, atoms) axes), stacks the swarms,
+    scans all steps in one program, writes per-swarm snapshot files.
+    """
+    import jax.numpy as jnp
+
+    from .mesh import make_mesh
+    from .sharded import run_multi_swarm, run_multi_swarm_2d
+
+    s = len(positions_list)
+    g = positions_list[0].shape[0]
+    devices = list(devices if devices is not None else jax.devices())
+    n_swarm_axis = max(1, min(s, len(devices) // n_atom_shards))
+    mesh = make_mesh(n_swarm=n_swarm_axis, n_atoms=n_atom_shards)
+
+    # Pad the swarm batch to a multiple of the swarm axis.
+    pad = (-s) % n_swarm_axis
+    padded_positions = list(positions_list) + [positions_list[0]] * pad
+
+    states = stack_swarm_states(padded_positions, use_anm, anm_rec, anm_lig, dtype)
+    randoms = swarm_randoms(seed, steps, len(padded_positions), g)
+
+    if n_atom_shards > 1:
+        final, outs = run_multi_swarm_2d(mesh, params, states, randoms)
+    else:
+        from ..engine.gso_jax import device_params
+        final, outs = run_multi_swarm(mesh, device_params(params, dtype=dtype),
+                                      states, jnp.asarray(randoms, dtype=dtype),
+                                      energy_chunk=energy_chunk)
+        # run_multi_swarm returns (S, steps, ...) via vmap out_axes=0
+        outs = jax.tree_util.tree_map(lambda x: x, outs)
+        write_swarm_outputs(outs, swarm_ids, use_anm, steps,
+                            output_root, swarm_axis=0)
+        return
+    write_swarm_outputs(outs, swarm_ids, use_anm, steps,
+                        output_root, swarm_axis=1)
