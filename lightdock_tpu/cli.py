@@ -31,6 +31,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--engine", choices=["jax", "host"], default="jax",
                     help="jax: batched device engine (default); "
                          "host: float64 NumPy parity engine")
+    ap.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                    help="force the JAX platform (some plugin setups ignore "
+                         "the JAX_PLATFORMS environment variable)")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None,
                     help="device compute precision (default: float64 on CPU, "
                          "float32 on accelerators)")
@@ -51,6 +54,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "reference (rand 0.7) stream")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the run")
+    ap.add_argument("--metrics", metavar="FILE", default=None,
+                    help="write JSON-lines run metrics to FILE")
     ap.add_argument("--resume", metavar="GSO_OUT",
                     help="resume from a previous gso_N.out snapshot")
     ap.add_argument("--resume-step", type=int, default=0,
@@ -121,6 +126,7 @@ def run_multi(args, positions_files, log) -> int:
     from .simulation import load_simulation
     from .utils.positions import parse_positions, parse_swarm_id
 
+    _apply_platform(args)
     maybe_initialize_distributed()
     backend = jax.default_backend()
     dtype_name = args.dtype or ("float64" if backend == "cpu" else "float32")
@@ -167,10 +173,17 @@ def run_host(sim, args, outdir) -> None:
     engine.run(args.steps)
 
 
+def _apply_platform(args) -> None:
+    if getattr(args, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+
 def run_jax(sim, args, outdir, log) -> None:
     import jax
     import numpy as np
 
+    _apply_platform(args)
     backend = jax.default_backend()
     dtype_name = args.dtype or ("float64" if backend == "cpu" else "float32")
     if dtype_name == "float64":
@@ -198,12 +211,21 @@ def run_jax(sim, args, outdir, log) -> None:
     if args.resume:
         runner.load_snapshot(args.resume, args.resume_step)
     print(f"Starting optimization ({args.steps} steps)")
+    segment = max(1, args.steps_per_save)
+    from .utils.metrics import RunMetrics
+    metrics = RunMetrics(args.metrics, context={
+        "backend": backend, "dtype": dtype_name, "method": sim.method,
+        "pairs": n_pairs, "glowworms": g})
     if args.profile:
         with jax.profiler.trace(str(outdir / "jax_trace")):
-            runner.run(args.steps)
+            runner.run_segmented(args.steps, segment, metrics=metrics)
         log.info("profiler trace written to %s", outdir / "jax_trace")
     else:
-        runner.run(args.steps)
+        runner.run_segmented(args.steps, segment, metrics=metrics)
+    summary = metrics.summary()
+    metrics.close()
+    if summary["poses_per_s"]:
+        print(f"Throughput: {summary['poses_per_s']} poses/s")
 
 
 if __name__ == "__main__":

@@ -349,6 +349,29 @@ class GsoJaxRunner:
         self._start_step = steps
         return final_state, outs
 
+    def run_segmented(self, steps: int, segment: int = 10, metrics=None):
+        """Run in fixed-length segments (one compiled scan reused for all).
+
+        Bounds the on-device footprint of the per-step outputs to one
+        segment and makes snapshots appear incrementally — a crash loses
+        at most one segment (the resume path picks up from the last
+        snapshot).  Segment boundaries align with the save cadence.
+        """
+        import time as _time
+
+        g = self.state.t.shape[0]
+        final_state, outs = self.state, None
+        while self._start_step < steps:
+            start = self._start_step
+            target = min(start + segment, steps)
+            t0 = _time.time()
+            final_state, outs = self.run(target)
+            np.asarray(final_state.scoring)  # force completion for timing
+            if metrics is not None:
+                metrics.segment(start, target, (target - start) * g,
+                                _time.time() - t0)
+        return final_state, outs
+
     def _poses_at(self, outs: StepOutput, i: int) -> np.ndarray:
         cols = [np.asarray(outs.t[i]), np.asarray(outs.q[i])]
         if self.use_anm and outs.a_rec.shape[-1] > 0:

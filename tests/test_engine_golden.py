@@ -13,6 +13,27 @@ from lightdock_tpu.simulation import load_simulation
 from lightdock_tpu.utils.output import format_gso_output
 
 
+def test_1azp_golden_trajectory_jax_engine(reference_dir, tmp_path):
+    """The batched device engine itself (float64, CPU backend) must render
+    gso_1.out and gso_10.out byte-identically to the shipped goldens —
+    the vectorised reformulation is exact, not merely close."""
+    import jax.numpy as jnp
+
+    from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+
+    ex = reference_dir / "example/1azp"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dna", anm_dir=ex)
+    runner = GsoJaxRunner(sim.batch_params(), sim.positions, sim.seed,
+                          sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                          output_directory=str(tmp_path), dtype=jnp.float64,
+                          energy_chunk=25)
+    runner.run_segmented(10, 10)
+    for step in (1, 10):
+        golden = (ex / f"swarm_0/gso_{step}.out").read_text()
+        assert (tmp_path / f"gso_{step}.out").read_text() == golden
+
+
 @pytest.mark.slow
 def test_1azp_golden_trajectory(reference_dir):
     ex = reference_dir / "example/1azp"
