@@ -60,6 +60,22 @@ def swarm_randoms(seed: int, steps: int, n_swarms: int, g: int,
     return np.broadcast_to(r[:, None, :], (r.shape[0], n_swarms, g)).copy()
 
 
+def _addressable_swarms(outs, swarm_axis: int, n: int) -> set:
+    """Swarm indices whose data this process can fetch (multi-host runs
+    shard the swarm axis across hosts; each host writes only its own)."""
+    leaf = jax.tree_util.tree_leaves(outs)[0]
+    sharding = getattr(leaf, "sharding", None)
+    if sharding is None or sharding.is_fully_addressable:
+        return set(range(n))
+    owned = set()
+    for shard in leaf.addressable_shards:
+        idx = shard.index[swarm_axis]
+        start = idx.start or 0
+        stop = idx.stop if idx.stop is not None else n
+        owned.update(range(start, min(stop, n)))
+    return owned
+
+
 def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
                         steps: int, output_root=".", start_step: int = 0,
                         swarm_axis: int = 1) -> None:
@@ -72,7 +88,10 @@ def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
     from ..utils.output import write_gso_output
 
     root = pathlib.Path(output_root)
+    addressable = _addressable_swarms(outs, swarm_axis, len(swarm_ids))
     for s_idx, swarm_id in enumerate(swarm_ids):
+        if s_idx not in addressable:
+            continue  # another host owns (and writes) this swarm's shard
         outdir = root / f"swarm_{swarm_id}"
 
         def leaf(x, i):
