@@ -360,14 +360,28 @@ class GsoJaxRunner:
         import time as _time
 
         g = self.state.t.shape[0]
+        dtype = self.state.t.dtype
+        # Upload the whole random stream once; segments slice it on device
+        # so the dispatch chain stays asynchronous (no host->device
+        # transfer or sync between segments unless snapshots/metrics need
+        # one).
+        randoms_all = jnp.asarray(
+            self._stream(steps * g)[self._start_step * g:].reshape(-1, g),
+            dtype=dtype)
+        base = self._start_step
         final_state, outs = self.state, None
         while self._start_step < steps:
             start = self._start_step
             target = min(start + segment, steps)
+            rnd = jax.lax.slice_in_dim(randoms_all, start - base, target - base)
             t0 = _time.time()
-            final_state, outs = self.run(target)
-            np.asarray(final_state.scoring)  # force completion for timing
+            final_state, outs = self._run_jit(self.params, self.state, rnd)
+            self.state = final_state
+            if self.output_directory is not None:
+                self._write_snapshots(outs, target, start)
+            self._start_step = target
             if metrics is not None:
+                np.asarray(final_state.scoring)  # force completion for timing
                 metrics.segment(start, target, (target - start) * g,
                                 _time.time() - t0)
         return final_state, outs

@@ -119,3 +119,34 @@ def test_f32_engine_is_close():
     f32, _ = r32.run(3)
     np.testing.assert_allclose(np.asarray(f32.t), np.asarray(f64.t),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_run_segmented_matches_monolithic(tmp_path):
+    """Segmented execution (async device-side chaining) must produce the
+    identical trajectory and identical snapshot files."""
+    rng = np.random.RandomState(8)
+    rec, lig = _toy_dfire_models(rng, num_anm=2)
+    params = build_batch_params(rec, lig, use_anm=True,
+                                potential=synthetic_potential())
+    positions = _random_positions(rng, g=16, anm_rec=2, anm_lig=2)
+
+    mono_dir = tmp_path / "mono"
+    mono = GsoJaxRunner(params, positions, seed=11, use_anm=True, anm_rec=2,
+                        anm_lig=2, output_directory=str(mono_dir),
+                        dtype=jnp.float64)
+    mono_final, _ = mono.run(20)
+
+    seg_dir = tmp_path / "seg"
+    seg = GsoJaxRunner(params, positions, seed=11, use_anm=True, anm_rec=2,
+                       anm_lig=2, output_directory=str(seg_dir),
+                       dtype=jnp.float64)
+    seg_final, _ = seg.run_segmented(20, 7)  # deliberately misaligned
+
+    np.testing.assert_array_equal(np.asarray(seg_final.t),
+                                  np.asarray(mono_final.t))
+    np.testing.assert_array_equal(np.asarray(seg_final.scoring),
+                                  np.asarray(mono_final.scoring))
+    for step in (1, 10, 20):
+        a = (mono_dir / f"gso_{step}.out").read_text()
+        b = (seg_dir / f"gso_{step}.out").read_text()
+        assert a == b, f"snapshot {step} differs"
