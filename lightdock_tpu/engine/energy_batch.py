@@ -280,8 +280,9 @@ def _dfire_parts_steps(p: BatchScoringParams, d2, xp=np):
     contrib = xp.broadcast_to(p.dfire_dq[0][None], d2.shape)
     num_bins = p.dfire_dq.shape[0]
     for k in range(1, num_bins):
-        fired = (d2 >= p.dfire_thresholds[k]).astype(dtype)
-        contrib = contrib + p.dfire_dq[k][None] * fired
+        # select-add form: one select + one add per channel on the VPU
+        contrib = xp.where(d2 >= p.dfire_thresholds[k],
+                           contrib + p.dfire_dq[k][None], contrib)
     raw = (contrib * mask).sum(axis=(1, 2))
     # Interface on the scaled distance d <= 3.9 <=> d2 <= 2.45^2
     # (reference src/dfire.rs:339 with d = 2*sqrt(d2) - 1).

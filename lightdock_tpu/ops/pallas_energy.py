@@ -160,7 +160,7 @@ def _dfire_kernel(thresholds, g_count,
             for k, s in enumerate(thresholds):
                 if k == 0 or not (s <= C.DFIRE_DIST_CUTOFF2):
                     continue  # bin 0 is the baseline; s > cutoff never fires
-                contrib = contrib + dq_ref[k] * (d2 >= s).astype(d2.dtype)
+                contrib = jnp.where(d2 >= s, contrib + dq_ref[k], contrib)
             in_cut = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(d2.dtype)
             onehot = _pose_onehot(g, g_count, d2.dtype)
             raw_ref[...] += onehot * jnp.sum(contrib * in_cut)

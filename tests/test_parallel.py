@@ -114,3 +114,27 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out.scoring)).all()
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_multi_swarm_farm_golden_1azp(tmp_path):
+    """The multi-swarm farm path must reproduce the 1azp golden when fed
+    that single swarm (f64, CPU mesh)."""
+    import os
+    import pathlib
+    reference = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE",
+                                            "/root/reference"))
+    if not reference.exists():
+        pytest.skip("reference data unavailable")
+    ex = reference / "example/1azp"
+    from lightdock_tpu.parallel.multihost import run_swarm_farm
+    from lightdock_tpu.simulation import load_simulation
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dna", anm_dir=ex)
+    run_swarm_farm(sim.batch_params(), [sim.positions, sim.positions],
+                   [0, 1], sim.seed, 10, sim.use_anm, sim.setup.anm_rec,
+                   sim.setup.anm_lig, jnp.float64, output_root=str(tmp_path),
+                   energy_chunk=25)
+    golden = (ex / "swarm_0/gso_10.out").read_text()
+    assert (tmp_path / "swarm_0/gso_10.out").read_text() == golden
+    assert (tmp_path / "swarm_1/gso_10.out").read_text() == golden
