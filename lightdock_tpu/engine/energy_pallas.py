@@ -61,7 +61,8 @@ def spatial_sort_params(params: BatchScoringParams) -> BatchScoringParams:
 
 def make_pallas_energy_fn(params: BatchScoringParams,
                           interpret: bool = False,
-                          cull: bool = True):
+                          cull: bool = True,
+                          r_tile: int = R_TILE, l_tile: int = L_TILE):
     """Build energy_fn(params, t, q, a_rec, a_lig) -> (G,) scores.
 
     The returned closure captures only small host-side geometry constants
@@ -71,8 +72,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     method = params.method
     nr = params.rec_coords.shape[0]
     nl = params.lig_coords.shape[0]
-    rec_centers, rec_radii = tile_geometry(params.rec_coords, R_TILE)
-    lig_centers, lig_radii = tile_geometry(params.lig_coords, L_TILE)
+    rec_centers, rec_radii = tile_geometry(params.rec_coords, r_tile)
+    lig_centers, lig_radii = tile_geometry(params.lig_coords, l_tile)
     rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
     lig_bounds = anm_mode_bounds(params.lig_nmodes) if params.use_anm else np.zeros(0)
     cutoff = 15.0 if method == "dfire" else 30.0
@@ -80,8 +81,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if params.dfire_dq is None:
             raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
         thresholds = tuple(dfire_bin_thresholds(np.asarray(params.dist_to_bins)))
-    n_r = -(-nr // R_TILE)
-    n_l = -(-nl // L_TILE)
+    n_r = -(-nr // r_tile)
+    n_l = -(-nl // l_tile)
 
     dtype = np.dtype(params.rec_coords.dtype)
     rc = jnp.asarray(rec_centers, dtype=dtype)
@@ -119,11 +120,13 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
         if method == "dfire":
             raw, ifr, ifl = dfire_pairs_pallas(
-                rec_all, lig, p.dfire_dq, thresholds, act, interpret=interpret)
+                rec_all, lig, p.dfire_dq, thresholds, act, interpret=interpret,
+                r_tile=r_tile, l_tile=l_tile)
         else:
             raw, ifr, ifl = elec_vdw_pairs_pallas(
                 rec_all, lig, p.ele_rec, p.ele_lig, p.vdw_c_rec, p.vdw_c_lig,
-                p.vdw_r_rec, p.vdw_r_lig, act, interpret=interpret)
+                p.vdw_r_rec, p.vdw_r_lig, act, interpret=interpret,
+                r_tile=r_tile, l_tile=l_tile)
 
         score = finalize_raw(p, raw)
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)

@@ -116,21 +116,22 @@ def _pose_onehot(g, g_count, dtype):
     return (iota == g).astype(dtype)
 
 
-def _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot):
+def _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
+                      r_tile=R_TILE, l_tile=L_TILE):
     """OR interface flags into the resident accumulators (row-natural)."""
-    ones_l = jnp.ones((L_TILE, 1), dtype=close.dtype)
+    ones_l = jnp.ones((l_tile, 1), dtype=close.dtype)
     # any over the ligand axis as a (1, R_TILE) row via an MXU contraction
     row_any = (jax.lax.dot_general(ones_l, close, (((0,), (1,)), ((), ())),
                                    precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=close.dtype) > 0
                ).astype(close.dtype)                      # (1, R_TILE)
-    col_any = jnp.max(close, axis=0, keepdims=True)       # (1, L_TILE)
-    r_off = pl.multiple_of(r * R_TILE, R_TILE)
-    l_off = pl.multiple_of(l * L_TILE, L_TILE)
-    cur_r = ifr_ref[:, pl.ds(r_off, R_TILE)]
-    ifr_ref[:, pl.ds(r_off, R_TILE)] = jnp.maximum(cur_r, onehot * row_any)
-    cur_l = ifl_ref[:, pl.ds(l_off, L_TILE)]
-    ifl_ref[:, pl.ds(l_off, L_TILE)] = jnp.maximum(cur_l, onehot * col_any)
+    col_any = jnp.max(close, axis=0, keepdims=True)       # (1, l_tile)
+    r_off = pl.multiple_of(r * r_tile, r_tile)
+    l_off = pl.multiple_of(l * l_tile, l_tile)
+    cur_r = ifr_ref[:, pl.ds(r_off, r_tile)]
+    ifr_ref[:, pl.ds(r_off, r_tile)] = jnp.maximum(cur_r, onehot * row_any)
+    cur_l = ifl_ref[:, pl.ds(l_off, l_tile)]
+    ifl_ref[:, pl.ds(l_off, l_tile)] = jnp.maximum(cur_l, onehot * col_any)
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +139,7 @@ def _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot):
 # --------------------------------------------------------------------------
 
 
-def _dfire_kernel(thresholds, g_count,
+def _dfire_kernel(thresholds, g_count, r_tile, l_tile,
                   act_ref, rec_ref, lig_ref, dq_ref,
                   raw_ref, ifr_ref, ifl_ref):
     r = pl.program_id(0)
@@ -166,7 +167,8 @@ def _dfire_kernel(thresholds, g_count,
             raw_ref[...] += onehot * jnp.sum(contrib * in_cut)
 
             close = (d2 <= iface2).astype(d2.dtype)
-            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot)
+            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
+                              r_tile, l_tile)
 
         return 0
 
@@ -174,7 +176,8 @@ def _dfire_kernel(thresholds, g_count,
 
 
 def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       r_tile: int = R_TILE, l_tile: int = L_TILE):
     """Raw DFIRE pair sums + interface flags for G poses.
 
     rec_all: (G, 3, Nr) transformed receptor coordinates (pad value 1e6);
@@ -185,24 +188,24 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
     padding retained on the atom axes (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
-    rec_all = _pad_to(rec_all, 2, R_TILE, 1e6)
-    lig_all = _pad_to(lig_all, 2, L_TILE, -1e6)
-    dq = _pad_to(_pad_to(dq, 1, R_TILE, 0.0), 2, L_TILE, 0.0)
+    rec_all = _pad_to(rec_all, 2, r_tile, 1e6)
+    lig_all = _pad_to(lig_all, 2, l_tile, -1e6)
+    dq = _pad_to(_pad_to(dq, 1, r_tile, 0.0), 2, l_tile, 0.0)
     nr, nl = dq.shape[1], dq.shape[2]
-    n_r, n_l = nr // R_TILE, nl // L_TILE
+    n_r, n_l = nr // r_tile, nl // l_tile
     assert active.shape == (n_r, n_l, g), (active.shape, (n_r, n_l, g))
 
     kernel = functools.partial(
-        _dfire_kernel, tuple(float(t) for t in thresholds), g)
+        _dfire_kernel, tuple(float(t) for t in thresholds), g, r_tile, l_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_r, n_l),
         in_specs=[
-            pl.BlockSpec((g, 3, R_TILE), lambda r, l, *_: (0, 0, r),
+            pl.BlockSpec((g, 3, r_tile), lambda r, l, *_: (0, 0, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 3, L_TILE), lambda r, l, *_: (0, 0, l),
+            pl.BlockSpec((g, 3, l_tile), lambda r, l, *_: (0, 0, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dq.shape[0], R_TILE, L_TILE), lambda r, l, *_: (0, r, l),
+            pl.BlockSpec((dq.shape[0], r_tile, l_tile), lambda r, l, *_: (0, r, l),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -229,7 +232,8 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
 # --------------------------------------------------------------------------
 
 
-def _elec_vdw_kernel(g_count, act_ref, rec_ref, lig_ref,
+def _elec_vdw_kernel(g_count, r_tile, l_tile,
+                     act_ref, rec_ref, lig_ref,
                      qr_ref, ql_ref, vcr_ref, vcl_ref, vrr_ref, vrl_ref,
                      raw_ref, ifr_ref, ifl_ref):
     r = pl.program_id(0)
@@ -265,7 +269,8 @@ def _elec_vdw_kernel(g_count, act_ref, rec_ref, lig_ref,
                                       + jnp.sum(k))
 
             close = (d2 <= C.INTERFACE_CUTOFF2).astype(d2.dtype)
-            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot)
+            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
+                              r_tile, l_tile)
 
         return 0
 
@@ -274,7 +279,8 @@ def _elec_vdw_kernel(g_count, act_ref, rec_ref, lig_ref,
 
 def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
                           vdw_c_rec, vdw_c_lig, vdw_r_rec, vdw_r_lig,
-                          active, interpret: bool = False):
+                          active, interpret: bool = False,
+                          r_tile: int = R_TILE, l_tile: int = L_TILE):
     """Raw elec+vdw pair sums + interface flags for G poses (DNA/PYDOCK).
 
     Padding atoms carry zero charges and radius 1 at 1e6 coordinates, so
@@ -282,30 +288,30 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
     (G, Nr), iface_lig (G, Nl)) with atom-axis padding retained.
     """
     g = lig_all.shape[0]
-    rec_all = _pad_to(rec_all, 2, R_TILE, 1e6)
-    lig_all = _pad_to(lig_all, 2, L_TILE, -1e6)
-    col = lambda x: _pad_to(x.reshape(-1, 1), 0, R_TILE, 0.0)
-    row = lambda x: _pad_to(x.reshape(1, -1), 1, L_TILE, 0.0)
+    rec_all = _pad_to(rec_all, 2, r_tile, 1e6)
+    lig_all = _pad_to(lig_all, 2, l_tile, -1e6)
+    col = lambda x: _pad_to(x.reshape(-1, 1), 0, r_tile, 0.0)
+    row = lambda x: _pad_to(x.reshape(1, -1), 1, l_tile, 0.0)
     qr, ql = col(ele_rec), row(ele_lig)
     vcr, vcl = col(vdw_c_rec), row(vdw_c_lig)
-    vrr = _pad_to(vdw_r_rec.reshape(-1, 1), 0, R_TILE, 1.0)
-    vrl = _pad_to(vdw_r_lig.reshape(1, -1), 1, L_TILE, 1.0)
+    vrr = _pad_to(vdw_r_rec.reshape(-1, 1), 0, r_tile, 1.0)
+    vrl = _pad_to(vdw_r_lig.reshape(1, -1), 1, l_tile, 1.0)
     nr, nl = qr.shape[0], ql.shape[1]
-    n_r, n_l = nr // R_TILE, nl // L_TILE
+    n_r, n_l = nr // r_tile, nl // l_tile
     assert active.shape == (n_r, n_l, g)
 
-    kernel = functools.partial(_elec_vdw_kernel, g)
-    col_spec = pl.BlockSpec((R_TILE, 1), lambda r, l, *_: (r, 0),
+    kernel = functools.partial(_elec_vdw_kernel, g, r_tile, l_tile)
+    col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, L_TILE), lambda r, l, *_: (0, l),
+    row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_r, n_l),
         in_specs=[
-            pl.BlockSpec((g, 3, R_TILE), lambda r, l, *_: (0, 0, r),
+            pl.BlockSpec((g, 3, r_tile), lambda r, l, *_: (0, 0, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 3, L_TILE), lambda r, l, *_: (0, 0, l),
+            pl.BlockSpec((g, 3, l_tile), lambda r, l, *_: (0, 0, l),
                          memory_space=pltpu.VMEM),
             col_spec, row_spec, col_spec, row_spec, col_spec, row_spec,
         ],
