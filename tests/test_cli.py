@@ -1,0 +1,68 @@
+"""CLI contract tests (in-process main(), CPU platform)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from lightdock_tpu.cli import main as cli_main
+from lightdock_tpu.cli_analysis import main as analysis_main
+from lightdock_tpu.cli_tools import main as tools_main
+
+
+@pytest.fixture()
+def workdir(tmp_path, reference_dir, monkeypatch):
+    """Chdir into a temp dir with the 1czy ANM files (cwd-relative like the
+    reference binary)."""
+    ex = reference_dir / "example/1czy"
+    shutil.copy(ex / "rec_nm.npy", tmp_path / "rec_nm.npy")
+    shutil.copy(ex / "lig_nm.npy", tmp_path / "lig_nm.npy")
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_cli_single_swarm(workdir, reference_dir):
+    ex = reference_dir / "example/1czy"
+    rc = cli_main([str(ex / "setup.json"),
+                   str(ex / "init/initial_positions_0.dat"),
+                   "3", "dfire", "--platform", "cpu", "--dtype", "float32"])
+    assert rc == 0
+    out = workdir / "swarm_0/gso_1.out"
+    assert out.exists()
+    assert len(out.read_text().splitlines()) == 201
+
+
+def test_cli_multi_swarm_and_analysis(workdir, reference_dir):
+    ex = reference_dir / "example/1czy"
+    pos = ",".join(str(ex / f"init/initial_positions_{i}.dat") for i in (0, 1))
+    rc = cli_main([str(ex / "setup.json"), pos, "3", "dfire",
+                   "--platform", "cpu", "--dtype", "float32"])
+    assert rc == 0
+    assert (workdir / "swarm_0/gso_1.out").exists()
+    assert (workdir / "swarm_1/gso_1.out").exists()
+    # gso files only exist for steps 1 (3 steps -> no step-10 snapshot)
+    assert not (workdir / "swarm_0/gso_3.out").exists()
+
+    rc = analysis_main(["all", str(workdir), "1",
+                        "--setup", str(ex / "setup.json"), "-n", "3"])
+    assert rc == 0
+    assert (workdir / "rank_by_scoring.list").exists()
+    assert (workdir / "swarm_0/cluster.repr").exists()
+    tops = sorted((workdir / "top").glob("top_*.pdb"))
+    assert len(tops) == 3
+
+
+def test_cli_bad_method(reference_dir, capsys):
+    ex = reference_dir / "example/1czy"
+    with pytest.raises(SystemExit):
+        cli_main([str(ex / "setup.json"),
+                  str(ex / "init/initial_positions_0.dat"), "3", "nonsense"])
+
+
+def test_tools_flatten(tmp_path, reference_dir):
+    src = reference_dir / "example/1azp/lightdock_rec.nm.npy"
+    dst = tmp_path / "rec_nm.npy"
+    assert tools_main(["flatten", str(src), str(dst)]) == 0
+    assert np.array_equal(np.load(dst),
+                          np.load(reference_dir / "example/1azp/rec_nm.npy"))
