@@ -104,6 +104,21 @@ def _tile_distances(rec_ref, lig_ref, g):
     return r2 + l2 - 2.0 * cross
 
 
+def _tile_distances_exact(rec_ref, lig_ref, g):
+    """Direct-difference squared distances (matches the XLA path's
+    rounding).  Costs three small row->column transposes per pose; used by
+    the elec/vdw kernel where 1/d2 amplifies the expansion-form error."""
+    rec_mat = rec_ref[g]                     # (3, R_TILE)
+    lig_mat = lig_ref[g]                     # (3, L_TILE)
+    d2 = None
+    for c in range(3):
+        rcol = rec_mat[c:c + 1, :].T          # (R_TILE, 1) via relayout
+        diff = rcol - lig_mat[c:c + 1, :]     # (R_TILE, L_TILE)
+        term = diff * diff
+        d2 = term if d2 is None else d2 + term
+    return d2
+
+
 def _pose_onehot(g, g_count, dtype):
     """(G, 1) column selecting pose g (static-layout scatter helper).
 
@@ -253,7 +268,7 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile,
     def body(g, _):
         @pl.when(_active(act_ref, r, l, g))
         def _():
-            d2 = _tile_distances(rec_ref, lig_ref, g)
+            d2 = _tile_distances_exact(rec_ref, lig_ref, g)
             inv_d2 = 1.0 / jnp.where(d2 > 0, d2, jnp.ones_like(d2))
 
             elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF, C.ELEC_MAX_CUTOFF)
