@@ -64,12 +64,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def pick_energy_chunk(n_pairs: int, g: int, dtype_bytes: int) -> int:
-    """Bound the (chunk, Nr, Nl) working set to ~1.5 GB of intermediates."""
+    """Bound the (chunk, Nr, Nl) working set to ~1.5 GB of intermediates.
+
+    Rounds to an even partition of the glowworm axis so padding waste is
+    minimal.
+    """
     budget = int(1.5e9 / (6 * dtype_bytes))  # ~6 live pair-sized arrays
     chunk = max(1, budget // max(n_pairs, 1))
     if chunk >= g:
         return 0  # no chunking needed
-    return chunk
+    n_seg = -(-g // chunk)
+    return -(-g // n_seg)
 
 
 def main(argv=None) -> int:

@@ -9,7 +9,6 @@ the same signature as engine.energy_batch.batch_energy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
