@@ -76,6 +76,29 @@ def _addressable_swarms(outs, swarm_axis: int, n: int) -> set:
     return owned
 
 
+def _swarm_local(x, s_idx: int, swarm_axis: int) -> np.ndarray:
+    """Fetch one swarm's slice of a (possibly cross-process) global array.
+
+    Indexing a non-fully-addressable array outside jit is unsafe (observed
+    to double-count contributions across processes); go through the
+    process-local shards instead.  Returns the slice with the swarm axis
+    removed, steps axis leading.
+    """
+    sharding = getattr(x, "sharding", None)
+    if sharding is None or sharding.is_fully_addressable:
+        arr = np.asarray(x)
+        return arr[s_idx] if swarm_axis == 0 else arr[:, s_idx]
+    for shard in x.addressable_shards:
+        idx = shard.index[swarm_axis]
+        start = idx.start or 0
+        stop = idx.stop if idx.stop is not None else x.shape[swarm_axis]
+        if start <= s_idx < stop:
+            data = np.asarray(shard.data)
+            local = s_idx - start
+            return data[local] if swarm_axis == 0 else data[:, local]
+    raise KeyError(f"swarm {s_idx} not addressable from this process")
+
+
 def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
                         steps: int, output_root=".", start_step: int = 0,
                         swarm_axis: int = 1) -> None:
@@ -93,11 +116,10 @@ def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
         if s_idx not in addressable:
             continue  # another host owns (and writes) this swarm's shard
         outdir = root / f"swarm_{swarm_id}"
-
-        def leaf(x, i):
-            if swarm_axis == 1:
-                return np.asarray(x[i, s_idx])
-            return np.asarray(x[s_idx, i])
+        # Per-swarm local views (steps leading), fetched via process-local
+        # shards — see _swarm_local.
+        local = {name: _swarm_local(getattr(outs, name), s_idx, swarm_axis)
+                 for name in outs._fields}
 
         first = True
         for step in range(start_step + 1, steps + 1):
@@ -107,17 +129,17 @@ def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
             if first:
                 outdir.mkdir(parents=True, exist_ok=True)
                 first = False
-            cols = [leaf(outs.t, i), leaf(outs.q, i)]
-            if use_anm and outs.a_rec.shape[-1] > 0:
-                cols.append(leaf(outs.a_rec, i))
-            if use_anm and outs.a_lig.shape[-1] > 0:
-                cols.append(leaf(outs.a_lig, i))
+            cols = [local["t"][i], local["q"][i]]
+            if use_anm and local["a_rec"].shape[-1] > 0:
+                cols.append(local["a_rec"][i])
+            if use_anm and local["a_lig"].shape[-1] > 0:
+                cols.append(local["a_lig"][i])
             poses = np.concatenate(cols, axis=1).astype(np.float64)
             write_gso_output(outdir / f"gso_{step}.out", poses,
-                             leaf(outs.luciferin, i).astype(np.float64),
-                             leaf(outs.num_neighbors, i),
-                             leaf(outs.vision, i).astype(np.float64),
-                             leaf(outs.scoring, i).astype(np.float64))
+                             local["luciferin"][i].astype(np.float64),
+                             local["num_neighbors"][i],
+                             local["vision"][i].astype(np.float64),
+                             local["scoring"][i].astype(np.float64))
 
 
 def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
