@@ -185,10 +185,13 @@ def gso_step(params: BatchScoringParams, state: SwarmState, randoms,
     #    cumulative probability reaches the uniform draw.
     w = jnp.where(mask, luciferin[None, :] - luciferin[:, None],
                   jnp.zeros((), dtype))
-    cum = jnp.cumsum(w, axis=1)
-    total = cum[:, -1]
-    thresh = randoms.astype(dtype) * total
-    ge = (cum >= thresh[:, None]) & mask
+    total = jnp.cumsum(w, axis=1)[:, -1]   # sequential-order total, like the
+    total_safe = jnp.where(total > 0, total, jnp.ones_like(total))
+    # Normalise each weight individually, then accumulate — the reference's
+    # exact arithmetic order (src/glowworm.rs:104-111 then :119-124), which
+    # keeps trajectories bit-comparable deeper into the run.
+    cump = jnp.cumsum(w / total_safe[:, None], axis=1)
+    ge = (cump >= randoms.astype(dtype)[:, None]) & mask
     # Float-safety net: guarantee the last neighbor is selectable even if
     # rounding left the full cumulative sum a hair under the threshold.
     col = jnp.arange(g)[None, :]
