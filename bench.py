@@ -48,6 +48,17 @@ def synth_1ppe_shaped():
 
 
 def main() -> int:
+    import signal
+
+    def _deadline(_sig, _frm):
+        log("bench deadline exceeded (tunnel/compile stall); aborting")
+        os._exit(2)
+
+    # Guard against a hung device tunnel: the remote-compile path has been
+    # observed to stall indefinitely.
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(int(os.environ.get("LIGHTDOCK_BENCH_TIMEOUT", "3000")))
+
     import jax
     import jax.numpy as jnp
 

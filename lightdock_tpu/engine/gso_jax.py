@@ -270,7 +270,7 @@ class GsoJaxRunner:
                  output_directory: Optional[str] = None,
                  dtype=jnp.float32, energy_chunk: int = 0,
                  energy_mode: str = "xla", cull: bool = True,
-                 rng_mode: str = "reference"):
+                 rng_mode: str = "reference", dq_bf16: bool = False):
         from ..utils.rng import uniform_f64_stream
 
         if energy_mode == "pallas":
@@ -279,6 +279,15 @@ class GsoJaxRunner:
             from .energy_pallas import spatial_sort_params
             params = spatial_sort_params(params)
         self.params = device_params(params, dtype=dtype)
+        if (energy_mode == "pallas" and dq_bf16
+                and self.params.dfire_dq is not None):
+            # Speed/VMEM mode: halve the delta-potential tensor.  Per-pair
+            # sums still accumulate in f32 (bf16+f32 promotes); relative
+            # energy error is ~1e-3 (bf16 mantissa).
+            import dataclasses as _dc
+            self.params = _dc.replace(
+                self.params,
+                dfire_dq=jnp.asarray(self.params.dfire_dq, jnp.bfloat16))
         self.state = init_state(positions, use_anm, anm_rec, anm_lig, dtype=dtype)
         self.seed = seed
         self.use_anm = use_anm

@@ -137,3 +137,18 @@ def test_anm_slack_bound():
     disp = np.einsum("gk,kna->gna", coefs, nmodes)
     actual = np.linalg.norm(disp, axis=-1).max(axis=1)
     assert (slack + 1e-9 >= actual).all()
+
+
+def test_bf16_dq_mode_close():
+    """bf16 delta-potential storage (speed/VMEM mode) stays within bf16
+    mantissa error of the f32 kernel."""
+    import dataclasses
+    from lightdock_tpu.engine.energy_pallas import spatial_sort_params
+    params, pose = _system("dfire")
+    sp = spatial_sort_params(params)
+    dp = device_params(sp, np.float32)
+    base = make_pallas_energy_fn(sp, interpret=True)(dp, *pose)
+    dp16 = dataclasses.replace(dp, dfire_dq=jnp.asarray(dp.dfire_dq, jnp.bfloat16))
+    out16 = make_pallas_energy_fn(sp, interpret=True)(dp16, *pose)
+    rel = float(jnp.max(jnp.abs((out16 - base) / base)))
+    assert rel < 0.05
