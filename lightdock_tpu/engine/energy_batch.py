@@ -62,8 +62,8 @@ class BatchScoringParams:
     vdw_r_rec: Optional[np.ndarray] = None
     vdw_r_lig: Optional[np.ndarray] = None
     # DFIRE fast path (gather-free step-function form; see dfire_step_tables)
-    dfire_dq: Optional[np.ndarray] = None          # (32, Nr, Nl) delta potentials
-    dfire_thresholds: Optional[np.ndarray] = None  # (32,) squared-distance steps
+    dfire_dq: Optional[np.ndarray] = None          # (K, Nr, Nl) delta potentials
+    dfire_thresholds: Optional[np.ndarray] = None  # (K,) squared-distance steps
 
 
 def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
@@ -82,9 +82,14 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
     bin b, ``dQ`` its forward difference over b, and ``s_k = ((m_k+1)/2)^2``
     the squared distance at which the bin first reaches value k (``m_k`` =
     first DIST_TO_BINS slot with value-1 >= k).  On TPU this replaces a 571k
-    -entry gather per pair with ~31 fused compare+FMA lanes — no gather, no
-    sqrt, no integer ops.  Returns (dq (32, Nr, Nl), thresholds (32,));
-    thresholds[0] is 0 (bin 0 is the baseline term).
+    -entry gather per pair with fused compare+FMA lanes — no gather, no
+    sqrt, no integer ops.  Channels whose threshold exceeds the 15 A cutoff
+    (s_k > 225) can never fire on an unmasked pair (every contributing pair
+    has d2 <= 225), so they are dropped at build time: with the reference
+    DIST_TO_BINS only bins 1..20 are reachable in-cutoff, trimming the
+    select-add chain (and the dq tensor) from 32 to 21 channels.  Returns
+    (dq (K, Nr, Nl), thresholds (K,)); thresholds[0] is 0 (bin 0 is the
+    baseline term).
     """
     from ..scoring.potentials import potential_by_bins
 
@@ -98,7 +103,8 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
     dq = np.ascontiguousarray(np.moveaxis(dq, -1, 0)).astype(dtype)
 
     thresholds = dfire_bin_thresholds(dist_to_bins, num_bins)
-    return dq, thresholds.astype(dtype)
+    live = thresholds <= C.DFIRE_DIST_CUTOFF2              # always incl. k=0
+    return dq[live], thresholds[live].astype(dtype)
 
 
 def dfire_bin_thresholds(dist_to_bins, num_bins: int = 32) -> np.ndarray:

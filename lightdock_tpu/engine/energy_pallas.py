@@ -79,7 +79,10 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     if method == "dfire":
         if params.dfire_dq is None:
             raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
-        thresholds = tuple(dfire_bin_thresholds(np.asarray(params.dist_to_bins)))
+        # Already trimmed to in-cutoff channels, matched 1:1 with dfire_dq
+        # (see energy_batch.dfire_step_tables).
+        thresholds = tuple(
+            float(x) for x in np.asarray(params.dfire_thresholds, np.float64))
     n_r = -(-nr // r_tile)
     n_l = -(-nl // l_tile)
 

@@ -198,7 +198,7 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
     rec_all: (G, 3, Nr) transformed receptor coordinates (pad value 1e6);
     lig_all: (G, 3, Nl) transformed ligand coordinates; dq: (32, Nr, Nl)
     delta-potential tables (engine.energy_batch.dfire_step_tables);
-    thresholds: 32 host floats (static); active: (nR, nL, G) int32 cull
+    thresholds: K host floats (static, in-cutoff channels); active: (nR, nL, G) int32 cull
     mask.  Returns (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with
     padding retained on the atom axes (slice with the true Nr/Nl).
     """

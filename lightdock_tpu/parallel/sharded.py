@@ -109,7 +109,7 @@ _REC_ATOM_DIM = {
     "rec_coords": 0, "rec_nmodes": 1, "rec_res_onehot": 1,
     "rec_membrane_mask": 0, "atom_types_rec": 0,
     "ele_rec": 0, "vdw_c_rec": 0, "vdw_r_rec": 0,
-    "dfire_dq": 1,  # (32, Nr, Nl): receptor atoms on axis 1
+    "dfire_dq": 1,  # (K, Nr, Nl): receptor atoms on axis 1
 }
 
 
