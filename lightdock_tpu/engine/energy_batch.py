@@ -95,16 +95,21 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
 
     num_bins = 32
     p32 = potential_by_bins(pot_flat, num_bins)            # (169, 169, 32)
-    q = p32[receptor_types.astype(np.int64)[:, None],
-            ligand_types.astype(np.int64)[None, :], :]      # (Nr, Nl, 32)
-    dq = np.empty_like(q)
-    dq[..., 0] = q[..., 0]
-    dq[..., 1:] = q[..., 1:] - q[..., :-1]
-    dq = np.ascontiguousarray(np.moveaxis(dq, -1, 0)).astype(dtype)
-
     thresholds = dfire_bin_thresholds(dist_to_bins, num_bins)
-    live = thresholds <= C.DFIRE_DIST_CUTOFF2              # always incl. k=0
-    return dq[live], thresholds[live].astype(dtype)
+    live = np.nonzero(thresholds <= C.DFIRE_DIST_CUTOFF2)[0]  # always incl. 0
+
+    # Build channel-by-channel: the forward difference commutes with the
+    # type gather, so each live channel is one small (169, 169) table diff
+    # followed by a typed gather straight into the output dtype.  Peak host
+    # memory is the (K, Nr, Nl) result + one (Nr, Nl) temp, instead of two
+    # (Nr, Nl, 32) f64 intermediates (~6 GB at 1k4c scale).
+    rt = receptor_types.astype(np.int64)
+    lt = ligand_types.astype(np.int64)
+    dq = np.empty((live.size, rt.size, lt.size), dtype=dtype)
+    for out_i, k in enumerate(live):
+        tbl = p32[:, :, k] - (p32[:, :, k - 1] if k > 0 else 0.0)
+        dq[out_i] = tbl.astype(dtype)[rt[:, None], lt[None, :]]
+    return dq, thresholds[live].astype(dtype)
 
 
 def dfire_bin_thresholds(dist_to_bins, num_bins: int = 32) -> np.ndarray:

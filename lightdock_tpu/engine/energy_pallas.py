@@ -16,22 +16,33 @@ import numpy as np
 from ..ops import quaternion as qt
 from ..ops.pallas_energy import (L_TILE, R_TILE, anm_mode_bounds, cull_mask,
                                  dfire_pairs_pallas, elec_vdw_pairs_pallas,
-                                 morton_order, pose_slack, tile_geometry)
+                                 morton_order, pose_slack, rcb_order,
+                                 tile_geometry)
 from .energy_batch import (BatchScoringParams, _bias, dfire_bin_thresholds,
                            finalize_raw)
 
 
-def spatial_sort_params(params: BatchScoringParams) -> BatchScoringParams:
-    """Permute both atom axes into Morton (Z-curve) order.
+def spatial_sort_params(params: BatchScoringParams,
+                        order: str = "rcb",
+                        r_tile: int = R_TILE,
+                        l_tile: int = L_TILE) -> BatchScoringParams:
+    """Permute both atom axes into a spatially-coherent order.
 
     Semantically free — every per-atom array (coordinates, ANM modes,
     types/charges, restraint one-hots, membrane mask, DFIRE tables) is
     permuted consistently, so energies and biases are unchanged — but tile
     bounding spheres become compact, which is what makes the conservative
-    cull effective.
+    cull effective.  ``order``: 'rcb' (tile-aware recursive bisection,
+    default) or 'morton' (Z-curve).
     """
-    pr = morton_order(params.rec_coords)
-    pl_ = morton_order(params.lig_coords)
+    if order == "rcb":
+        pr = rcb_order(params.rec_coords, r_tile)
+        pl_ = rcb_order(params.lig_coords, l_tile)
+    elif order == "morton":
+        pr = morton_order(params.rec_coords)
+        pl_ = morton_order(params.lig_coords)
+    else:
+        raise ValueError(f"unknown spatial order {order!r}")
 
     def take(x, axis, perm):
         return None if x is None else np.take(np.asarray(x), perm, axis=axis)
@@ -105,13 +116,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         lig = lig + (t - center[None, :])[:, :, None]
         if p.use_anm and p.lig_nmodes.shape[0] > 0:
             lig = lig + jnp.einsum("gk,knc->gcn", a_lig, p.lig_nmodes)
-        # Receptor: ANM only, laid out (G, 3, Nr).
+        # Receptor: ANM only, laid out (G, Nr, 3) — atoms on the sublane
+        # axis so narrow receptor tiles are legal (ops.pallas_energy).
         rec_base = p.rec_coords - center[None, :]
         if p.use_anm and p.rec_nmodes.shape[0] > 0:
-            rec = rec_base[None] + jnp.einsum("gk,knc->gnc", a_rec, p.rec_nmodes)
-            rec_all = jnp.transpose(rec, (0, 2, 1))          # (G, 3, Nr)
+            rec_all = rec_base[None] + jnp.einsum("gk,knc->gnc", a_rec,
+                                                  p.rec_nmodes)
         else:
-            rec_all = jnp.broadcast_to(rec_base.T[None], (g, 3, nr))
+            rec_all = jnp.broadcast_to(rec_base[None], (g, nr, 3))
 
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)

@@ -270,14 +270,18 @@ class GsoJaxRunner:
                  output_directory: Optional[str] = None,
                  dtype=jnp.float32, energy_chunk: int = 0,
                  energy_mode: str = "xla", cull: bool = True,
-                 rng_mode: str = "reference", dq_bf16: bool = False):
+                 rng_mode: str = "reference", dq_bf16: bool = False,
+                 r_tile: Optional[int] = None, l_tile: Optional[int] = None):
         from ..utils.rng import uniform_f64_stream
 
         if energy_mode == "pallas":
-            # Morton-sort the atom axes so the conservative tile cull bites
-            # (semantics unchanged; see energy_pallas.spatial_sort_params).
+            # Spatially sort the atom axes so the conservative tile cull
+            # bites (semantics unchanged; energy_pallas.spatial_sort_params).
+            from ..ops.pallas_energy import L_TILE, R_TILE
             from .energy_pallas import spatial_sort_params
-            params = spatial_sort_params(params)
+            r_tile = r_tile or R_TILE
+            l_tile = l_tile or L_TILE
+            params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
         self.params = device_params(params, dtype=dtype)
         if (energy_mode == "pallas" and dq_bf16
                 and self.params.dfire_dq is not None):
@@ -308,7 +312,8 @@ class GsoJaxRunner:
         self._start_step = 0  # completed steps (for resume)
         if energy_mode == "pallas":
             from .energy_pallas import make_pallas_energy_fn
-            energy_fn = make_pallas_energy_fn(params, cull=cull)
+            energy_fn = make_pallas_energy_fn(params, cull=cull,
+                                              r_tile=r_tile, l_tile=l_tile)
             self._run_jit = jax.jit(
                 lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
         elif energy_mode == "xla":

@@ -45,6 +45,15 @@ except ImportError:  # pragma: no cover
 # -- swarm-axis data parallelism -------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("energy_chunk",))
+def _scan_all_swarms(params, states, randoms, energy_chunk=0):
+    # Module-level jit: repeat calls (farm segments, bench loops) reuse the
+    # compiled executable instead of retracing a fresh closure every call.
+    def run_one(state, rnd):
+        return run_swarm(params, state, rnd, energy_chunk=energy_chunk)
+    return jax.vmap(run_one, in_axes=(0, 1))(states, randoms)
+
+
 def run_multi_swarm(mesh: Mesh, params: BatchScoringParams,
                     states: SwarmState, randoms, energy_chunk: int = 0):
     """Scan GSO for S swarms sharded over the mesh's swarm axis.
@@ -56,14 +65,8 @@ def run_multi_swarm(mesh: Mesh, params: BatchScoringParams,
     states = shard_swarm_states(mesh, states)
     randoms = jax.device_put(
         jnp.asarray(randoms), NamedSharding(mesh, P(None, SWARM_AXIS)))
-
-    @functools.partial(jax.jit, static_argnames=("energy_chunk",))
-    def scan_all(params, states, randoms, energy_chunk=0):
-        def run_one(state, rnd):
-            return run_swarm(params, state, rnd, energy_chunk=energy_chunk)
-        return jax.vmap(run_one, in_axes=(0, 1))(states, randoms)
-
-    return scan_all(params, states, randoms, energy_chunk=energy_chunk)
+    return _scan_all_swarms(params, states, randoms,
+                            energy_chunk=energy_chunk)
 
 
 # -- receptor-atom-axis sharding -------------------------------------------

@@ -139,6 +139,32 @@ def test_anm_slack_bound():
     assert (slack + 1e-9 >= actual).all()
 
 
+@pytest.mark.parametrize("r_tile,l_tile,order", [(32, 128, "rcb"),
+                                                 (64, 128, "rcb"),
+                                                 (128, 128, "morton")])
+def test_pallas_small_tiles_and_orders(r_tile, l_tile, order):
+    """Non-default tile shapes + both spatial orders match the XLA path
+    (the 1k4c fast config is rcb 32x128)."""
+    from lightdock_tpu.engine.energy_pallas import spatial_sort_params
+    params, pose = _system("dfire")
+    sp = spatial_sort_params(params, order=order, r_tile=r_tile, l_tile=l_tile)
+    dp = device_params(sp, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    out = make_pallas_energy_fn(sp, interpret=True, cull=True,
+                                r_tile=r_tile, l_tile=l_tile)(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-6)
+
+
+def test_rcb_order_is_permutation_and_compact():
+    rng = np.random.RandomState(7)
+    coords = rng.uniform(-50, 50, (1000, 3))
+    perm = pe.rcb_order(coords, 64)
+    assert sorted(perm) == list(range(1000))
+    _, radii_rcb = pe.tile_geometry(coords[perm], 64)
+    _, radii_id = pe.tile_geometry(coords, 64)
+    assert radii_rcb.mean() < radii_id.mean()
+
+
 def test_bf16_dq_mode_close():
     """bf16 delta-potential storage (speed/VMEM mode) stays within bf16
     mantissa error of the f32 kernel."""
