@@ -288,7 +288,10 @@ def _dfire_parts_steps(p: BatchScoringParams, d2, xp=np):
     """
     dtype = d2.dtype
     mask = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(dtype)
-    contrib = xp.broadcast_to(p.dfire_dq[0][None], d2.shape)
+    # Upcast the baseline so the per-pair chain accumulates at d2's
+    # precision even when dq is stored bf16 (the bandwidth-halving mode:
+    # each add then promotes bf16 -> f32 individually).
+    contrib = xp.broadcast_to(p.dfire_dq[0][None], d2.shape).astype(dtype)
     num_bins = p.dfire_dq.shape[0]
     for k in range(1, num_bins):
         # select-add form: one select + one add per channel on the VPU

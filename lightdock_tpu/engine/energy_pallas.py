@@ -13,11 +13,12 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from .. import constants as Cst
 from ..ops import quaternion as qt
-from ..ops.pallas_energy import (L_TILE, R_TILE, anm_mode_bounds, cull_mask,
-                                 dfire_pairs_pallas, elec_vdw_pairs_pallas,
-                                 morton_order, pose_slack, rcb_order,
-                                 tile_geometry)
+from ..ops.pallas_energy import (L_TILE, R_TILE, anm_mode_bounds,
+                                 cull_mask_boxes, dfire_pairs_pallas,
+                                 elec_vdw_pairs_pallas, morton_order,
+                                 pose_slack, rcb_order, tile_boxes)
 from .energy_batch import (BatchScoringParams, _bias, dfire_bin_thresholds,
                            finalize_raw)
 
@@ -82,11 +83,18 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     method = params.method
     nr = params.rec_coords.shape[0]
     nl = params.lig_coords.shape[0]
-    rec_centers, rec_radii = tile_geometry(params.rec_coords, r_tile)
-    lig_centers, lig_radii = tile_geometry(params.lig_coords, l_tile)
+    rec_centers, rec_half = tile_boxes(params.rec_coords, r_tile)
+    lig_centers, lig_half = tile_boxes(params.lig_coords, l_tile)
     rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
     lig_bounds = anm_mode_bounds(params.lig_nmodes) if params.use_anm else np.zeros(0)
     cutoff = 15.0 if method == "dfire" else 30.0
+    # Interface flags have a far tighter reach than the energy: 2.45 A for
+    # DFIRE (d <= 3.9 on the *scaled* distance 2*sqrt(d2)-1, reference
+    # src/dfire.rs:339) and 3.9 A for DNA/PYDOCK — a second cull mask at
+    # this cutoff lets the kernels skip the interface accumulation on most
+    # energy-active tile-poses.
+    iface_cutoff = ((Cst.INTERFACE_CUTOFF + 1.0) / 2.0 if method == "dfire"
+                    else Cst.INTERFACE_CUTOFF)
     if method == "dfire":
         if params.dfire_dq is None:
             raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
@@ -99,9 +107,9 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
     dtype = np.dtype(params.rec_coords.dtype)
     rc = jnp.asarray(rec_centers, dtype=dtype)
-    rr = jnp.asarray(rec_radii, dtype=dtype)
+    rh = jnp.asarray(rec_half, dtype=dtype)
     lc = jnp.asarray(lig_centers, dtype=dtype)
-    lr = jnp.asarray(lig_radii, dtype=dtype)
+    lh = jnp.asarray(lig_half, dtype=dtype)
 
     # Re-center so the MXU |r|^2/|l|^2 expansion in the kernel keeps
     # precision (d2 is translation-invariant; see _tile_distances).
@@ -128,19 +136,21 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
             ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
-            act = cull_mask(rc, rr, lc, lr, t, rot, rs, ls, cutoff)
+            act, act_iface = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls,
+                                             (cutoff, iface_cutoff))
         else:
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
+            act_iface = act
 
         if method == "dfire":
             raw, ifr, ifl = dfire_pairs_pallas(
-                rec_all, lig, p.dfire_dq, thresholds, act, interpret=interpret,
-                r_tile=r_tile, l_tile=l_tile)
+                rec_all, lig, p.dfire_dq, thresholds, act, act_iface,
+                interpret=interpret, r_tile=r_tile, l_tile=l_tile)
         else:
             raw, ifr, ifl = elec_vdw_pairs_pallas(
                 rec_all, lig, p.ele_rec, p.ele_lig, p.vdw_c_rec, p.vdw_c_lig,
-                p.vdw_r_rec, p.vdw_r_lig, act, interpret=interpret,
-                r_tile=r_tile, l_tile=l_tile)
+                p.vdw_r_rec, p.vdw_r_lig, act, act_iface,
+                interpret=interpret, r_tile=r_tile, l_tile=l_tile)
 
         score = finalize_raw(p, raw)
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)

@@ -283,11 +283,12 @@ class GsoJaxRunner:
             l_tile = l_tile or L_TILE
             params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
         self.params = device_params(params, dtype=dtype)
-        if (energy_mode == "pallas" and dq_bf16
-                and self.params.dfire_dq is not None):
-            # Speed/VMEM mode: halve the delta-potential tensor.  Per-pair
-            # sums still accumulate in f32 (bf16+f32 promotes); relative
-            # energy error is ~1e-3 (bf16 mantissa).
+        if dq_bf16 and self.params.dfire_dq is not None:
+            # Speed mode for either energy path: halve the delta-potential
+            # tensor's HBM footprint/bandwidth (it is THE bottleneck of the
+            # XLA path on large complexes).  Per-pair chains upcast to f32
+            # at the baseline term, so only individual table values round
+            # to bf16; relative energy error is ~1e-3 (bf16 mantissa).
             import dataclasses as _dc
             self.params = _dc.replace(
                 self.params,

@@ -57,20 +57,27 @@ def _pad_to(x, axis, multiple, value):
 
 
 def pack_cull_bits(active):
-    """Bit-pack an (nR, nL, G) 0/1 mask into (nR, nL, ceil(G/32)) uint32
-    words for SMEM scalar prefetch (bit g%32 of word g//32)."""
+    """Bit-pack an (nR, nL, G) 0/1 mask into a FLAT (nR*nL*ceil(G/32),)
+    uint32 vector for SMEM scalar prefetch (bit g%32 of word
+    (r*nL + l)*words + g//32).
+
+    Kept 1-D on purpose: SMEM arrays are tile-padded per trailing dim, so
+    a (nR, nL, 7) layout would blow the ~1 MB SMEM budget at large grids
+    (e.g. 1k4c with 32-atom receptor tiles pads (107, 26, 7) to
+    (107, 32, 128) = 1.75 MB); the flat vector only pads once.
+    """
     n_r, n_l, g = active.shape
     pad = (-g) % 32
     act = jnp.pad(active.astype(jnp.uint32), ((0, 0), (0, 0), (0, pad)))
     a = act.reshape(n_r, n_l, -1, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     # each bit set at most once, so sum == bitwise OR
-    return (a << shifts).sum(axis=-1).astype(jnp.uint32)
+    return (a << shifts).sum(axis=-1).astype(jnp.uint32).reshape(-1)
 
 
-def _active(act_ref, r, l, g):
-    """Test bit g of the packed cull mask for tile (r, l)."""
-    word = act_ref[r, l, jax.lax.shift_right_logical(g, 5)]
+def _active(act_ref, n_l, words, r, l, g):
+    """Test bit g of the flat packed cull mask for tile (r, l)."""
+    word = act_ref[(r * n_l + l) * words + jax.lax.shift_right_logical(g, 5)]
     bit = jax.lax.shift_right_logical(word, (g & 31).astype(jnp.uint32))
     return (bit & jnp.uint32(1)) == jnp.uint32(1)
 
@@ -174,11 +181,12 @@ def _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot, onehot_row,
 # --------------------------------------------------------------------------
 
 
-def _dfire_kernel(thresholds, g_count, r_tile, l_tile,
-                  act_ref, rec_ref, lig_ref, dq_ref,
+def _dfire_kernel(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                  act_ref, iface_act_ref, rec_ref, lig_ref, dq_ref,
                   raw_ref, ifr_ref, ifl_ref):
     r = pl.program_id(0)
     l = pl.program_id(1)
+    words = -(-g_count // 32)
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -189,29 +197,36 @@ def _dfire_kernel(thresholds, g_count, r_tile, l_tile,
     iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
 
     def body(g, _):
-        @pl.when(_active(act_ref, r, l, g))
+        @pl.when(_active(act_ref, n_l_tiles, words, r, l, g))
         def _():
             d2 = _tile_distances(rec_ref, lig_ref, g)
-            contrib = dq_ref[0]
+            # Accumulate at d2's precision even when dq is stored bf16
+            # (each add promotes bf16 -> f32 individually).
+            contrib = dq_ref[0].astype(d2.dtype)
             for k, s in enumerate(thresholds):
                 if k == 0 or not (s <= C.DFIRE_DIST_CUTOFF2):
                     continue  # bin 0 is the baseline; s > cutoff never fires
                 contrib = jnp.where(d2 >= s, contrib + dq_ref[k], contrib)
             in_cut = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(d2.dtype)
-            onehot = _pose_onehot(g, g_count, d2.dtype)
-            raw_ref[...] += onehot * jnp.sum(contrib * in_cut)
-
-            close = (d2 <= iface2).astype(d2.dtype)
             onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
-            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
-                              onehot_row, r_tile, l_tile)
+            raw_ref[0:1, :] += onehot_row * jnp.sum(contrib * in_cut)
+
+            # Interface flags only matter within 2.45 A — a second, far
+            # tighter cull bit skips the accumulator read-modify-writes on
+            # the vast majority of energy-active tile-poses.
+            @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
+            def _():
+                close = (d2 <= iface2).astype(d2.dtype)
+                onehot = _pose_onehot(g, g_count, d2.dtype)
+                _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
+                                  onehot_row, r_tile, l_tile)
 
         return 0
 
     jax.lax.fori_loop(0, g_count, body, 0, unroll=False)
 
 
-def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
+def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active, iface_active,
                        interpret: bool = False,
                        r_tile: int = R_TILE, l_tile: int = L_TILE):
     """Raw DFIRE pair sums + interface flags for G poses.
@@ -220,8 +235,9 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
     atoms on the sublane axis so r_tile only needs 8-divisibility);
     lig_all: (G, 3, Nl) transformed ligand coordinates; dq: (K, Nr, Nl)
     delta-potential tables (engine.energy_batch.dfire_step_tables);
-    thresholds: K host floats (static, in-cutoff channels); active: (nR, nL, G) int32 cull
-    mask.  Returns (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with
+    thresholds: K host floats (static, in-cutoff channels); active /
+    iface_active: (nR, nL, G) int32 cull masks at the energy and interface
+    cutoffs.  Returns (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with
     padding retained on the atom axes (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
@@ -233,9 +249,10 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
     assert active.shape == (n_r, n_l, g), (active.shape, (n_r, n_l, g))
 
     kernel = functools.partial(
-        _dfire_kernel, tuple(float(t) for t in thresholds), g, r_tile, l_tile)
+        _dfire_kernel, tuple(float(t) for t in thresholds), g, r_tile, l_tile,
+        n_l)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_r, n_l),
         in_specs=[
             pl.BlockSpec((g, r_tile, 3), lambda r, l, *_: (0, r, 0),
@@ -246,7 +263,7 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((g, LANE), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nl), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -255,13 +272,14 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, LANE), lig_all.dtype),
+            jax.ShapeDtypeStruct((8, g), lig_all.dtype),
             jax.ShapeDtypeStruct((nr, g), lig_all.dtype),
             jax.ShapeDtypeStruct((g, nl), lig_all.dtype),
         ],
         interpret=interpret,
-    )(pack_cull_bits(active), rec_all, lig_all, dq)
-    return raw[:, 0], ifr.T, ifl
+    )(pack_cull_bits(active), pack_cull_bits(iface_active),
+      rec_all, lig_all, dq)
+    return raw[0], ifr.T, ifl
 
 
 # --------------------------------------------------------------------------
@@ -269,12 +287,13 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active,
 # --------------------------------------------------------------------------
 
 
-def _elec_vdw_kernel(g_count, r_tile, l_tile,
-                     act_ref, rec_ref, lig_ref,
+def _elec_vdw_kernel(g_count, r_tile, l_tile, n_l_tiles,
+                     act_ref, iface_act_ref, rec_ref, lig_ref,
                      qr_ref, ql_ref, vcr_ref, vcl_ref, vrr_ref, vrl_ref,
                      raw_ref, ifr_ref, ifl_ref):
     r = pl.program_id(0)
     l = pl.program_id(1)
+    words = -(-g_count // 32)
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -288,7 +307,7 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile,
     vr2 = vr * vr
 
     def body(g, _):
-        @pl.when(_active(act_ref, r, l, g))
+        @pl.when(_active(act_ref, n_l_tiles, words, r, l, g))
         def _():
             d2 = _tile_distances_exact(rec_ref, lig_ref, g)
             inv_d2 = 1.0 / jnp.where(d2 > 0, d2, jnp.ones_like(d2))
@@ -301,14 +320,19 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile,
             k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
             k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(d2.dtype)
 
-            onehot = _pose_onehot(g, g_count, d2.dtype)
-            raw_ref[...] += onehot * (jnp.sum(elec) * (C.FACTOR / C.EPSILON)
-                                      + jnp.sum(k))
-
-            close = (d2 <= C.INTERFACE_CUTOFF2).astype(d2.dtype)
             onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
-            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
-                              onehot_row, r_tile, l_tile)
+            raw_ref[0:1, :] += onehot_row * (jnp.sum(elec)
+                                             * (C.FACTOR / C.EPSILON)
+                                             + jnp.sum(k))
+
+            # 3.9 A interface cutoff vs 30 A energy cutoff: skip the
+            # accumulator read-modify-writes unless the tight cull fires.
+            @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
+            def _():
+                close = (d2 <= C.INTERFACE_CUTOFF2).astype(d2.dtype)
+                onehot = _pose_onehot(g, g_count, d2.dtype)
+                _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
+                                  onehot_row, r_tile, l_tile)
 
         return 0
 
@@ -317,7 +341,7 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile,
 
 def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
                           vdw_c_rec, vdw_c_lig, vdw_r_rec, vdw_r_lig,
-                          active, interpret: bool = False,
+                          active, iface_active, interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE):
     """Raw elec+vdw pair sums + interface flags for G poses (DNA/PYDOCK).
 
@@ -340,13 +364,13 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
     n_r, n_l = nr // r_tile, nl // l_tile
     assert active.shape == (n_r, n_l, g)
 
-    kernel = functools.partial(_elec_vdw_kernel, g, r_tile, l_tile)
+    kernel = functools.partial(_elec_vdw_kernel, g, r_tile, l_tile, n_l)
     col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_r, n_l),
         in_specs=[
             pl.BlockSpec((g, r_tile, 3), lambda r, l, *_: (0, r, 0),
@@ -356,7 +380,7 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
             col_spec, row_spec, col_spec, row_spec, col_spec, row_spec,
         ],
         out_specs=[
-            pl.BlockSpec((g, LANE), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nl), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -365,13 +389,14 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, LANE), lig_all.dtype),
+            jax.ShapeDtypeStruct((8, g), lig_all.dtype),
             jax.ShapeDtypeStruct((nr, g), lig_all.dtype),
             jax.ShapeDtypeStruct((g, nl), lig_all.dtype),
         ],
         interpret=interpret,
-    )(pack_cull_bits(active), rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
-    return raw[:, 0], ifr.T, ifl
+    )(pack_cull_bits(active), pack_cull_bits(iface_active),
+      rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
+    return raw[0], ifr.T, ifl
 
 
 # --------------------------------------------------------------------------
@@ -456,6 +481,30 @@ def tile_geometry(coords: np.ndarray, tile: int):
     return centers, radii
 
 
+def tile_boxes(coords: np.ndarray, tile: int):
+    """Static per-tile axis-aligned bounding boxes: (centers (nT, 3),
+    half_extents (nT, 3)).
+
+    Much tighter than the bounding spheres for RCB-ordered tiles (whose
+    splits are axis-aligned by construction).  All-padding tiles get
+    half-extent -inf so a box test can never activate them.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n = coords.shape[0]
+    pad = (-n) % tile
+    real = np.ones(n + pad, dtype=bool)
+    real[n:] = False
+    c = np.pad(coords, ((0, pad), (0, 0)))
+    c_t = c.reshape(-1, tile, 3)
+    real_t = real.reshape(-1, tile)[..., None]
+    lo = np.where(real_t, c_t, np.inf).min(axis=1)
+    hi = np.where(real_t, c_t, -np.inf).max(axis=1)
+    empty = ~np.isfinite(lo).all(axis=1)
+    centers = np.where(empty[:, None], 0.0, (lo + hi) / 2.0)
+    half = np.where(empty[:, None], -np.inf, (hi - lo) / 2.0)
+    return centers, half
+
+
 def anm_mode_bounds(nmodes: np.ndarray) -> np.ndarray:
     """Per-mode maximum atom displacement norm (K,) for the slack bound."""
     nmodes = np.asarray(nmodes, dtype=np.float64)
@@ -467,7 +516,7 @@ def anm_mode_bounds(nmodes: np.ndarray) -> np.ndarray:
 def cull_mask(rec_centers, rec_radii, lig_centers_base, lig_radii,
               t, rot, rec_slack, lig_slack, cutoff):
     """active (nR, nL, G) int32: 1 where a tile pair may contain an atom
-    pair within ``cutoff`` for pose g.
+    pair within ``cutoff`` for pose g (bounding-sphere test).
 
     Ligand tile centers move rigidly (c' = R_g c + t_g; radii are rotation
     -invariant); per-pose ANM displacement is bounded by
@@ -480,6 +529,37 @@ def cull_mask(rec_centers, rec_radii, lig_centers_base, lig_radii,
              + rec_slack[:, None, None] + lig_slack[:, None, None])
     act = dist <= limit  # -inf radius (all-padding tile) never activates
     return jnp.transpose(act, (1, 2, 0)).astype(jnp.int32)        # (nR, nL, G)
+
+
+def cull_mask_boxes(rec_centers, rec_half, lig_centers_base, lig_half,
+                    t, rot, rec_slack, lig_slack, cutoffs):
+    """Box-based cull masks, one (nR, nL, G) int32 per cutoff in
+    ``cutoffs``.
+
+    The receptor tile is a static AABB; the ligand tile's rotated box is
+    re-projected onto the world axes (half-extent |R_g| h, the tight AABB
+    of an oriented box), so the per-axis gap
+
+        gap_c = max(0, |c_rec - (R_g c_lig + t_g)|_c - (h_rec + |R_g| h_lig
+                    + slack)_c)
+
+    lower-bounds every atom-pair distance component; sum(gap^2) <= d2 for
+    every pair in the tile pair, hence skipping when sum(gap^2) > cutoff^2
+    is exact.  Far tighter than the sphere test for axis-aligned RCB tiles
+    (a sphere pays the half-diagonal, up to sqrt(3)x per side).  ANM slack
+    (a bound on displacement *norm*) conservatively widens each axis.
+    Padding tiles carry -inf half-extents: gaps become +inf, never active.
+    """
+    lc = jnp.einsum("gab,nb->gna", rot, lig_centers_base) + t[:, None, :]
+    lh = jnp.einsum("gab,nb->gna", jnp.abs(rot), lig_half)        # (G, nL, 3)
+    slack = (rec_slack + lig_slack)[:, None, None, None]
+    diff = jnp.abs(rec_centers[None, :, None, :] - lc[:, None, :, :])
+    reach = rec_half[None, :, None, :] + lh[:, None, :, :] + slack
+    gap = jnp.maximum(diff - reach, 0.0)                          # (G, nR, nL, 3)
+    d2_lb = (gap * gap).sum(-1)
+    # -inf half-extent (padding tile): reach=-inf -> gap=+inf -> d2_lb=+inf
+    return [jnp.transpose(d2_lb <= float(c) ** 2, (1, 2, 0)).astype(jnp.int32)
+            for c in cutoffs]
 
 
 def pose_slack(coefs, mode_bounds):

@@ -90,15 +90,14 @@ def main() -> int:
         log(f"dfire_dq: {params.dfire_dq.shape} "
             f"{params.dfire_dq.nbytes/1e9:.2f} GB host f32")
 
-    kw = {}
+    kw = {"dq_bf16": args.dq_bf16}
     if args.mode == "xla":
         chunk = (args.chunk if args.chunk is not None
                  else pick_energy_chunk(n_pairs, g, 4))
-        log(f"xla energy_chunk={chunk}")
-        kw = dict(energy_mode="xla", energy_chunk=chunk)
+        log(f"xla energy_chunk={chunk} dq_bf16={args.dq_bf16}")
+        kw.update(energy_mode="xla", energy_chunk=chunk)
     else:
-        kw = dict(energy_mode="pallas", cull=not args.no_cull,
-                  dq_bf16=args.dq_bf16,
+        kw.update(energy_mode="pallas", cull=not args.no_cull,
                   r_tile=args.r_tile, l_tile=args.l_tile)
         log(f"tiles: {args.r_tile or 128}x{args.l_tile or 128} "
             f"cull={not args.no_cull} dq_bf16={args.dq_bf16}")

@@ -106,11 +106,12 @@ def test_pack_cull_bits_roundtrip():
     rng = np.random.RandomState(1)
     act = (rng.rand(5, 7, 37) > 0.5).astype(np.int32)
     words = np.asarray(pe.pack_cull_bits(jnp.asarray(act)))
-    assert words.shape == (5, 7, 2)
+    assert words.shape == (5 * 7 * 2,)  # flat for SMEM (1-D, no lane padding)
     for r in range(5):
         for l in range(7):
             for g in range(37):
-                bit = (int(words[r, l, g // 32]) >> (g % 32)) & 1
+                flat = (r * 7 + l) * 2 + g // 32
+                bit = (int(words[flat]) >> (g % 32)) & 1
                 assert bit == act[r, l, g]
 
 
@@ -176,5 +177,20 @@ def test_bf16_dq_mode_close():
     base = make_pallas_energy_fn(sp, interpret=True)(dp, *pose)
     dp16 = dataclasses.replace(dp, dfire_dq=jnp.asarray(dp.dfire_dq, jnp.bfloat16))
     out16 = make_pallas_energy_fn(sp, interpret=True)(dp16, *pose)
+    rel = float(jnp.max(jnp.abs((out16 - base) / base)))
+    assert rel < 0.05
+
+
+def test_bf16_dq_mode_xla_path():
+    """The XLA steps path also accepts bf16 dq (the chain upcasts to f32
+    at the baseline term, so only table values round to bf16)."""
+    import dataclasses
+    from lightdock_tpu.engine.energy_batch import batch_energy
+    params, pose = _system("dfire")
+    dp = device_params(params, np.float32)
+    base = batch_energy(dp, *pose, xp=jnp)
+    dp16 = dataclasses.replace(dp, dfire_dq=jnp.asarray(dp.dfire_dq, jnp.bfloat16))
+    out16 = batch_energy(dp16, *pose, xp=jnp)
+    assert out16.dtype == base.dtype
     rel = float(jnp.max(jnp.abs((out16 - base) / base)))
     assert rel < 0.05
