@@ -46,9 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output-dir", default=None,
                     help="override output directory (default: ./swarm_N)")
     ap.add_argument("--steps-per-save", type=int, default=10)
-    ap.add_argument("--energy-mode", choices=["xla", "pallas"], default="xla",
-                    help="pair-energy backend: fused XLA (default) or the "
-                         "Pallas kernels with spatial tile culling")
+    ap.add_argument("--energy-mode", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="pair-energy backend: fused XLA, the Pallas kernels "
+                         "with spatial tile culling, or auto (default: "
+                         "Pallas for large DFIRE complexes on TPU)")
     ap.add_argument("--jax-rng", action="store_true",
                     help="use the native device RNG instead of the bit-exact "
                          "reference (rand 0.7) stream")

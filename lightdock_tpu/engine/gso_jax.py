@@ -261,6 +261,24 @@ def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
 # -- host-facing runner -----------------------------------------------------
 
 
+# Measured crossover on one v5e chip (scripts/bench_1k4c.py + 1ppe runs):
+# the XLA DFIRE path is dq-bandwidth-bound and degrades with Nr*Nl (1k4c:
+# 1.0k poses/s) while the culled Pallas kernel holds up (2.8k); below a few
+# million pairs the kernel's per-tile-pose loop overhead loses to XLA's
+# fused elementwise path (1ppe 357k pairs: 66k vs 30k poses/s).
+PALLAS_AUTO_MIN_PAIRS = 4_000_000
+
+
+def pick_energy_mode(params: BatchScoringParams) -> str:
+    """Resolve energy_mode='auto': Pallas for large DFIRE complexes on TPU,
+    the fused XLA path otherwise."""
+    n_pairs = params.rec_coords.shape[0] * params.lig_coords.shape[0]
+    if (params.method == "dfire" and n_pairs >= PALLAS_AUTO_MIN_PAIRS
+            and jax.default_backend() == "tpu"):
+        return "pallas"
+    return "xla"
+
+
 class GsoJaxRunner:
     """Host wrapper: precomputes the RNG stream, jits the scan, writes
     snapshots in the reference cadence/format."""
@@ -274,6 +292,8 @@ class GsoJaxRunner:
                  r_tile: Optional[int] = None, l_tile: Optional[int] = None):
         from ..utils.rng import uniform_f64_stream
 
+        if energy_mode == "auto":
+            energy_mode = pick_energy_mode(params)
         if energy_mode == "pallas":
             # Spatially sort the atom axes so the conservative tile cull
             # bites (semantics unchanged; energy_pallas.spatial_sort_params).

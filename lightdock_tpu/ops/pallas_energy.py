@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 
-R_TILE = 128
+# Receptor tiles are narrow (atoms on sublanes: 8-divisible) — 32 is the
+# measured sweet spot on v5e at 1k4c scale and keeps the (G, r_tile, 3)
+# coordinate blocks' VMEM cost low (lanes pad 3 -> 128, so block bytes are
+# G * r_tile * 128 * 4 regardless of the coordinate axis).  Ligand tiles
+# sit on the lane axis and must be multiples of 128.
+R_TILE = 32
 L_TILE = 128
 LANE = 128
 

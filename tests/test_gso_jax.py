@@ -150,3 +150,23 @@ def test_run_segmented_matches_monolithic(tmp_path):
         a = (mono_dir / f"gso_{step}.out").read_text()
         b = (seg_dir / f"gso_{step}.out").read_text()
         assert a == b, f"snapshot {step} differs"
+
+
+def test_pick_energy_mode_auto():
+    """auto resolves to XLA for small complexes / CPU backends and would
+    only pick pallas for large DFIRE systems on a TPU backend."""
+    import dataclasses
+    from lightdock_tpu.engine.gso_jax import (PALLAS_AUTO_MIN_PAIRS,
+                                              pick_energy_mode)
+    rng = np.random.RandomState(0)
+    rec, lig = _toy_dfire_models(rng)
+    params = build_batch_params(rec, lig, use_anm=False,
+                                potential=synthetic_potential())
+    assert pick_energy_mode(params) == "xla"  # small + CPU backend
+    big = dataclasses.replace(
+        params,
+        rec_coords=np.zeros((4000, 3), np.float32),
+        lig_coords=np.zeros((4000, 3), np.float32))
+    assert big.rec_coords.shape[0] * big.lig_coords.shape[0] >= PALLAS_AUTO_MIN_PAIRS
+    # still xla because the test backend is CPU
+    assert pick_energy_mode(big) == "xla"
