@@ -95,6 +95,12 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     # energy-active tile-poses.
     iface_cutoff = ((Cst.INTERFACE_CUTOFF + 1.0) / 2.0 if method == "dfire"
                     else Cst.INTERFACE_CUTOFF)
+    # Interface flags feed only the restraint/membrane bias; without
+    # either, the bias is the identity and the kernels skip all interface
+    # work (static flag).
+    need_iface = (params.rec_res_onehot.shape[0] > 0
+                  or params.lig_res_onehot.shape[0] > 0
+                  or params.rec_num_membrane > 0)
     if method == "dfire":
         if params.dfire_dq is None:
             raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
@@ -145,12 +151,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if method == "dfire":
             raw, ifr, ifl = dfire_pairs_pallas(
                 rec_all, lig, p.dfire_dq, thresholds, act, act_iface,
-                interpret=interpret, r_tile=r_tile, l_tile=l_tile)
+                interpret=interpret, r_tile=r_tile, l_tile=l_tile,
+                need_iface=need_iface)
         else:
             raw, ifr, ifl = elec_vdw_pairs_pallas(
                 rec_all, lig, p.ele_rec, p.ele_lig, p.vdw_c_rec, p.vdw_c_lig,
                 p.vdw_r_rec, p.vdw_r_lig, act, act_iface,
-                interpret=interpret, r_tile=r_tile, l_tile=l_tile)
+                interpret=interpret, r_tile=r_tile, l_tile=l_tile,
+                need_iface=need_iface)
 
         score = finalize_raw(p, raw)
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)

@@ -137,6 +137,20 @@ def _tile_distances_exact(rec_ref, lig_ref, g):
     return d2
 
 
+def _tile_distances_aug(rec_ref, lig_ref, g):
+    """d2 tile as ONE MXU contraction of augmented coordinates.
+
+    rec rows are [x y z |r|^2 1 0 0 0]; lig columns are
+    [-2x -2y -2z 1 |l|^2 0 0 0]^T, so the product is
+    |r|^2 + |l|^2 - 2 r.l per pair — same expansion-form rounding as
+    _tile_distances but one dot_general instead of two plus the adds.
+    """
+    return jax.lax.dot_general(rec_ref[g], lig_ref[g],
+                               (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=rec_ref.dtype)
+
+
 def _pose_onehot(g, g_count, dtype):
     """(G, 1) column selecting pose g (static-layout scatter helper).
 
@@ -186,12 +200,28 @@ def _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot, onehot_row,
 # --------------------------------------------------------------------------
 
 
-def _dfire_kernel(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+DFIRE_POSE_CHUNK = 64
+
+
+def _dfire_kernel(thresholds, g_count, r_tile, l_tile, n_l_tiles, need_iface,
                   act_ref, iface_act_ref, rec_ref, lig_ref, dq_ref,
-                  raw_ref, ifr_ref, ifl_ref):
+                  raw_ref, ifr_ref, ifl_ref, rows_ref):
+    """Per-pose pair math with chunk-deferred scalarization.
+
+    The naive per-pose accumulation ``raw[g] += sum(tile)`` serializes a
+    full (r_tile, l_tile) -> scalar reduction, a vector->scalar move and a
+    lane-broadcast masked RMW into every pose — measured at 1k4c scale
+    that fixed cost dwarfs the actual channel math (~85% of kernel time).
+    Instead each pose only does a cheap sublane reduction to a (1, LANE)
+    row stored at its slot of a VMEM scratch; once per 64-pose chunk a
+    single MXU contraction folds the chunk's rows into (chunk, 1) and one
+    static-slice update adds them to the resident (G, LANE) accumulator.
+    """
     r = pl.program_id(0)
     l = pl.program_id(1)
     words = -(-g_count // 32)
+    chunk = rows_ref.shape[0]
+    dtype = rows_ref.dtype
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -204,7 +234,7 @@ def _dfire_kernel(thresholds, g_count, r_tile, l_tile, n_l_tiles,
     def body(g, _):
         @pl.when(_active(act_ref, n_l_tiles, words, r, l, g))
         def _():
-            d2 = _tile_distances(rec_ref, lig_ref, g)
+            d2 = _tile_distances_aug(rec_ref, lig_ref, g)
             # Accumulate at d2's precision even when dq is stored bf16
             # (each add promotes bf16 -> f32 individually).
             contrib = dq_ref[0].astype(d2.dtype)
@@ -213,27 +243,43 @@ def _dfire_kernel(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                     continue  # bin 0 is the baseline; s > cutoff never fires
                 contrib = jnp.where(d2 >= s, contrib + dq_ref[k], contrib)
             in_cut = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(d2.dtype)
-            onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
-            raw_ref[0:1, :] += onehot_row * jnp.sum(contrib * in_cut)
+            rows_ref[jnp.remainder(g, chunk)] = (
+                (contrib * in_cut).sum(axis=0, keepdims=True))
 
             # Interface flags only matter within 2.45 A — a second, far
             # tighter cull bit skips the accumulator read-modify-writes on
-            # the vast majority of energy-active tile-poses.
-            @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
-            def _():
-                close = (d2 <= iface2).astype(d2.dtype)
-                onehot = _pose_onehot(g, g_count, d2.dtype)
-                _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
-                                  onehot_row, r_tile, l_tile)
+            # the vast majority of energy-active tile-poses.  With no
+            # restraints and no membrane the flags feed nothing (the bias
+            # is the identity) and are skipped entirely (static).
+            if need_iface:
+                @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
+                def _():
+                    close = (d2 <= iface2).astype(d2.dtype)
+                    onehot = _pose_onehot(g, g_count, d2.dtype)
+                    onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
+                    _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g,
+                                      onehot, onehot_row, r_tile, l_tile)
 
         return 0
 
-    jax.lax.fori_loop(0, g_count, body, 0, unroll=False)
+    ones_l = jnp.ones((l_tile, 1), dtype=dtype)
+    for lo in range(0, g_count, chunk):
+        hi = min(lo + chunk, g_count)
+        # Inactive poses must contribute zero: clear the chunk's rows once
+        # (8 vregs) instead of an else-branch store per inactive pose.
+        rows_ref[...] = jnp.zeros_like(rows_ref)
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+        sums = jax.lax.dot_general(
+            rows_ref[:, 0, :], ones_l, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype)                  # (chunk, 1)
+        raw_ref[lo:hi, 0:1] += sums[:hi - lo]
 
 
 def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active, iface_active,
                        interpret: bool = False,
-                       r_tile: int = R_TILE, l_tile: int = L_TILE):
+                       r_tile: int = R_TILE, l_tile: int = L_TILE,
+                       need_iface: bool = True):
     """Raw DFIRE pair sums + interface flags for G poses.
 
     rec_all: (G, Nr, 3) transformed receptor coordinates (pad value 1e6;
@@ -246,6 +292,7 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active, iface_active,
     padding retained on the atom axes (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
+    dtype = lig_all.dtype
     rec_all = _pad_to(rec_all, 1, r_tile, 1e6)
     lig_all = _pad_to(lig_all, 2, l_tile, -1e6)
     dq = _pad_to(_pad_to(dq, 1, r_tile, 0.0), 2, l_tile, 0.0)
@@ -253,38 +300,53 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active, iface_active,
     n_r, n_l = nr // r_tile, nl // l_tile
     assert active.shape == (n_r, n_l, g), (active.shape, (n_r, n_l, g))
 
+    # Augmented coordinates (see _tile_distances_aug), built in XLA —
+    # cheap O(G N) work outside the kernel.  Width padded 5 -> 8 for MXU
+    # tiling.
+    zc = jnp.zeros((g, nr, 1), dtype)
+    rec_aug = jnp.concatenate(
+        [rec_all, (rec_all * rec_all).sum(-1, keepdims=True),
+         jnp.ones((g, nr, 1), dtype), zc, zc, zc], axis=2)
+    zr = jnp.zeros((g, 1, nl), dtype)
+    lig_aug = jnp.concatenate(
+        [-2.0 * lig_all, jnp.ones((g, 1, nl), dtype),
+         (lig_all * lig_all).sum(1, keepdims=True), zr, zr, zr], axis=1)
+
     kernel = functools.partial(
         _dfire_kernel, tuple(float(t) for t in thresholds), g, r_tile, l_tile,
-        n_l)
+        n_l, need_iface)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_r, n_l),
         in_specs=[
-            pl.BlockSpec((g, r_tile, 3), lambda r, l, *_: (0, r, 0),
+            pl.BlockSpec((g, r_tile, 8), lambda r, l, *_: (0, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 3, l_tile), lambda r, l, *_: (0, 0, l),
+            pl.BlockSpec((g, 8, l_tile), lambda r, l, *_: (0, 0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dq.shape[0], r_tile, l_tile), lambda r, l, *_: (0, r, l),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, LANE), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nl), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((min(DFIRE_POSE_CHUNK, g), 1, l_tile), lig_all.dtype),
         ],
     )
     raw, ifr, ifl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, g), lig_all.dtype),
+            jax.ShapeDtypeStruct((g, LANE), lig_all.dtype),
             jax.ShapeDtypeStruct((nr, g), lig_all.dtype),
             jax.ShapeDtypeStruct((g, nl), lig_all.dtype),
         ],
         interpret=interpret,
     )(pack_cull_bits(active), pack_cull_bits(iface_active),
-      rec_all, lig_all, dq)
-    return raw[0], ifr.T, ifl
+      rec_aug, lig_aug, dq)
+    return raw[:, 0], ifr.T, ifl
 
 
 # --------------------------------------------------------------------------
@@ -292,13 +354,17 @@ def dfire_pairs_pallas(rec_all, lig_all, dq, thresholds, active, iface_active,
 # --------------------------------------------------------------------------
 
 
-def _elec_vdw_kernel(g_count, r_tile, l_tile, n_l_tiles,
+def _elec_vdw_kernel(g_count, r_tile, l_tile, n_l_tiles, need_iface,
                      act_ref, iface_act_ref, rec_ref, lig_ref,
                      qr_ref, ql_ref, vcr_ref, vcl_ref, vrr_ref, vrl_ref,
-                     raw_ref, ifr_ref, ifl_ref):
+                     raw_ref, ifr_ref, ifl_ref, rows_ref):
+    """Per-pose elec+vdw with chunk-deferred scalarization (see
+    _dfire_kernel for the rationale and the rows-scratch scheme)."""
     r = pl.program_id(0)
     l = pl.program_id(1)
     words = -(-g_count // 32)
+    chunk = rows_ref.shape[0]
+    dtype = rows_ref.dtype
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -325,29 +391,40 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile, n_l_tiles,
             k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
             k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(d2.dtype)
 
-            onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
-            raw_ref[0:1, :] += onehot_row * (jnp.sum(elec)
-                                             * (C.FACTOR / C.EPSILON)
-                                             + jnp.sum(k))
+            combined = elec * (C.FACTOR / C.EPSILON) + k
+            rows_ref[jnp.remainder(g, chunk)] = combined.sum(axis=0,
+                                                             keepdims=True)
 
             # 3.9 A interface cutoff vs 30 A energy cutoff: skip the
             # accumulator read-modify-writes unless the tight cull fires.
-            @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
-            def _():
-                close = (d2 <= C.INTERFACE_CUTOFF2).astype(d2.dtype)
-                onehot = _pose_onehot(g, g_count, d2.dtype)
-                _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g, onehot,
-                                  onehot_row, r_tile, l_tile)
+            if need_iface:
+                @pl.when(_active(iface_act_ref, n_l_tiles, words, r, l, g))
+                def _():
+                    close = (d2 <= C.INTERFACE_CUTOFF2).astype(d2.dtype)
+                    onehot = _pose_onehot(g, g_count, d2.dtype)
+                    onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
+                    _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g,
+                                      onehot, onehot_row, r_tile, l_tile)
 
         return 0
 
-    jax.lax.fori_loop(0, g_count, body, 0, unroll=False)
+    ones_l = jnp.ones((l_tile, 1), dtype=dtype)
+    for lo in range(0, g_count, chunk):
+        hi = min(lo + chunk, g_count)
+        rows_ref[...] = jnp.zeros_like(rows_ref)
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+        sums = jax.lax.dot_general(
+            rows_ref[:, 0, :], ones_l, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype)                  # (chunk, 1)
+        raw_ref[lo:hi, 0:1] += sums[:hi - lo]
 
 
 def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
                           vdw_c_rec, vdw_c_lig, vdw_r_rec, vdw_r_lig,
                           active, iface_active, interpret: bool = False,
-                          r_tile: int = R_TILE, l_tile: int = L_TILE):
+                          r_tile: int = R_TILE, l_tile: int = L_TILE,
+                          need_iface: bool = True):
     """Raw elec+vdw pair sums + interface flags for G poses (DNA/PYDOCK).
 
     Padding atoms carry zero charges and radius 1 at 1e6 coordinates, so
@@ -369,7 +446,8 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
     n_r, n_l = nr // r_tile, nl // l_tile
     assert active.shape == (n_r, n_l, g)
 
-    kernel = functools.partial(_elec_vdw_kernel, g, r_tile, l_tile, n_l)
+    kernel = functools.partial(_elec_vdw_kernel, g, r_tile, l_tile, n_l,
+                               need_iface)
     col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
@@ -385,23 +463,26 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
             col_spec, row_spec, col_spec, row_spec, col_spec, row_spec,
         ],
         out_specs=[
-            pl.BlockSpec((8, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, LANE), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, g), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nl), lambda r, l, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((min(DFIRE_POSE_CHUNK, g), 1, l_tile), lig_all.dtype),
         ],
     )
     raw, ifr, ifl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, g), lig_all.dtype),
+            jax.ShapeDtypeStruct((g, LANE), lig_all.dtype),
             jax.ShapeDtypeStruct((nr, g), lig_all.dtype),
             jax.ShapeDtypeStruct((g, nl), lig_all.dtype),
         ],
         interpret=interpret,
     )(pack_cull_bits(active), pack_cull_bits(iface_active),
       rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
-    return raw[0], ifr.T, ifl
+    return raw[:, 0], ifr.T, ifl
 
 
 # --------------------------------------------------------------------------

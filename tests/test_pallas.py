@@ -194,3 +194,29 @@ def test_bf16_dq_mode_xla_path():
     assert out16.dtype == base.dtype
     rel = float(jnp.max(jnp.abs((out16 - base) / base)))
     assert rel < 0.05
+
+
+def test_pallas_no_bias_system():
+    """A system with no restraints and no membrane skips interface work
+    (need_iface static flag) and must still match the XLA path."""
+    rng = np.random.RandomState(5)
+    def model(n):
+        return DockingModel(
+            method="dfire", coordinates=rng.uniform(-30, 30, size=(n, 3)),
+            num_anm=0, nmodes=np.zeros((0, n, 3)),
+            membrane=np.zeros(0, dtype=np.int64),
+            active_restraints={}, passive_restraints={},
+            atom_types=rng.randint(0, 168, size=n).astype(np.int32))
+    params = build_batch_params(model(300), model(170), use_anm=False,
+                                dtype=np.float32,
+                                potential=synthetic_potential(),
+                                dfire_mode="steps")
+    g = 9
+    t = jnp.asarray(rng.uniform(-20, 20, (g, 3)), jnp.float32)
+    q = rng.standard_normal((g, 4)); q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q, jnp.float32)
+    a = jnp.zeros((g, 0), jnp.float32)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, t, q, a, a, xp=jnp)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True)(dp, t, q, a, a)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-6)
