@@ -15,10 +15,11 @@ import numpy as np
 
 from .. import constants as Cst
 from ..ops import quaternion as qt
-from ..ops.pallas_energy import (L_TILE, R_TILE, anm_mode_bounds,
-                                 cull_mask_boxes, dfire_pairs_pallas,
-                                 elec_vdw_pairs_pallas, morton_order,
-                                 pose_slack, rcb_order, tile_boxes)
+from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE,
+                                 anm_mode_bounds, cull_mask_boxes,
+                                 dfire_pairs_pallas, elec_vdw_pairs_pallas,
+                                 morton_order, pose_slack, rcb_order,
+                                 tile_boxes)
 from .energy_batch import (BatchScoringParams, _bias, dfire_bin_thresholds,
                            finalize_raw)
 
@@ -32,13 +33,16 @@ def spatial_sort_params(params: BatchScoringParams,
     Semantically free — every per-atom array (coordinates, ANM modes,
     types/charges, restraint one-hots, membrane mask, DFIRE tables) is
     permuted consistently, so energies and biases are unchanged — but tile
-    bounding spheres become compact, which is what makes the conservative
+    bounding boxes become compact, which is what makes the conservative
     cull effective.  ``order``: 'rcb' (tile-aware recursive bisection,
-    default) or 'morton' (Z-curve).
+    default; hierarchical so the cull's sub-boxes nest inside compact
+    kernel tiles) or 'morton' (Z-curve).
     """
     if order == "rcb":
-        pr = rcb_order(params.rec_coords, r_tile)
-        pl_ = rcb_order(params.lig_coords, l_tile)
+        pr = rcb_order(params.rec_coords,
+                       (r_tile, R_SUB) if r_tile % R_SUB == 0 else r_tile)
+        pl_ = rcb_order(params.lig_coords,
+                        (l_tile, L_SUB) if l_tile % L_SUB == 0 else l_tile)
     elif order == "morton":
         pr = morton_order(params.rec_coords)
         pl_ = morton_order(params.lig_coords)
@@ -83,8 +87,23 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     method = params.method
     nr = params.rec_coords.shape[0]
     nl = params.lig_coords.shape[0]
-    rec_centers, rec_half = tile_boxes(params.rec_coords, r_tile)
-    lig_centers, lig_half = tile_boxes(params.lig_coords, l_tile)
+    # Cull geometry at sub-box granularity (nested in kernel tiles by the
+    # hierarchical rcb order): bounds are OR-reduced to tile granularity
+    # in the traced fn.  Sub-box counts are padded so each kernel tile
+    # owns exactly (tile/sub) sub-boxes (-inf half-extents never fire).
+    r_sub = R_SUB if r_tile % R_SUB == 0 else r_tile
+    l_sub = L_SUB if l_tile % L_SUB == 0 else l_tile
+    rec_centers, rec_half = tile_boxes(params.rec_coords, r_sub)
+    lig_centers, lig_half = tile_boxes(params.lig_coords, l_sub)
+
+    def pad_groups(centers, half, n_tiles, group):
+        need = n_tiles * group
+        pad = need - centers.shape[0]
+        if pad > 0:
+            centers = np.pad(centers, ((0, pad), (0, 0)))
+            half = np.pad(half, ((0, pad), (0, 0)),
+                          constant_values=-np.inf)
+        return centers, half
     rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
     lig_bounds = anm_mode_bounds(params.lig_nmodes) if params.use_anm else np.zeros(0)
     cutoff = 15.0 if method == "dfire" else 30.0
@@ -110,6 +129,9 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             float(x) for x in np.asarray(params.dfire_thresholds, np.float64))
     n_r = -(-nr // r_tile)
     n_l = -(-nl // l_tile)
+    rg, lg = r_tile // r_sub, l_tile // l_sub
+    rec_centers, rec_half = pad_groups(rec_centers, rec_half, n_r, rg)
+    lig_centers, lig_half = pad_groups(lig_centers, lig_half, n_l, lg)
 
     dtype = np.dtype(params.rec_coords.dtype)
     rc = jnp.asarray(rec_centers, dtype=dtype)
@@ -142,8 +164,13 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
             ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
-            act, act_iface = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls,
-                                             (cutoff, iface_cutoff))
+            fine = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls,
+                                   (cutoff, iface_cutoff))
+
+            def coarsen(a):  # OR-reduce sub-boxes to kernel tiles
+                return a.reshape(n_r, rg, n_l, lg, g).max(axis=(1, 3))
+
+            act, act_iface = (coarsen(a) for a in fine)
         else:
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
             act_iface = act

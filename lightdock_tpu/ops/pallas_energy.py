@@ -49,6 +49,12 @@ from .. import constants as C
 R_TILE = 32
 L_TILE = 128
 LANE = 128
+# Cull-refinement granularity: bounds are evaluated on (R_SUB x L_SUB)
+# sub-boxes (hierarchically nested inside the kernel tiles by rcb_order)
+# and OR-reduced to tile granularity — boxes of 8/32 atoms are much
+# tighter than 32/128-atom tile boxes, so fewer tile-poses activate.
+R_SUB = 8
+L_SUB = 32
 
 
 def _pad_to(x, axis, multiple, value):
@@ -490,7 +496,7 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 # --------------------------------------------------------------------------
 
 
-def rcb_order(coords: np.ndarray, tile: int) -> np.ndarray:
+def rcb_order(coords: np.ndarray, tile) -> np.ndarray:
     """Recursive-coordinate-bisection atom permutation, tile-aware.
 
     Splits the atom set along its widest axis at a multiple-of-``tile``
@@ -499,29 +505,40 @@ def rcb_order(coords: np.ndarray, tile: int) -> np.ndarray:
     spatial cluster *by construction* (Morton runs can straddle octant
     boundaries; measured on 1k4c this cuts the 32-atom tile radius from
     21.7 to 18.3 A and the active pose-tile fraction from 0.49 to 0.32).
+
+    ``tile`` may be a descending tuple (e.g. ``(32, 8)``): the recursion
+    first produces compact ``tile[0]``-chunks, then keeps bisecting INSIDE
+    each chunk at the finer granularities — so sub-boxes used for cull
+    refinement nest inside compact kernel tiles (a flat fine-granularity
+    RCB would let kernel tiles straddle cuts and go diffuse).
     Returns the permutation indices (N,).
     """
+    tiles = tuple(tile) if isinstance(tile, (tuple, list)) else (tile,)
     coords = np.asarray(coords, dtype=np.float64)
     n = coords.shape[0]
     out = np.empty(n, dtype=np.int64)
     pos = 0
 
-    def rec(idx):
+    def rec(idx, level):
         nonlocal pos
         m = idx.size
-        if m <= tile:
-            out[pos:pos + m] = idx
-            pos += m
+        t = tiles[level]
+        if m <= t:
+            if level + 1 < len(tiles):
+                rec(idx, level + 1)
+            else:
+                out[pos:pos + m] = idx
+                pos += m
             return
         c = coords[idx]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         order = idx[np.argsort(c[:, axis], kind="stable")]
-        left_tiles = (-(-m // tile)) // 2
-        cut = left_tiles * tile
-        rec(order[:cut])
-        rec(order[cut:])
+        left_tiles = (-(-m // t)) // 2
+        cut = left_tiles * t
+        rec(order[:cut], level)
+        rec(order[cut:], level)
 
-    rec(np.arange(n))
+    rec(np.arange(n), 0)
     return out
 
 
