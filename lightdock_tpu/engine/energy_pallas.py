@@ -74,6 +74,20 @@ def spatial_sort_params(params: BatchScoringParams,
     )
 
 
+def pick_tiles(params: BatchScoringParams):
+    """Measured-best kernel tile shape for a complex.
+
+    Receptor tiles of 32 atoms (narrow sublane tiles; 16 loses to per-body
+    overhead, 64 blows the VMEM coordinate-block budget).  Ligand tiles as
+    wide as fits: 384 lanes is the best measured on v5e at 1k4c scale
+    (512 exceeds the 16 MB scoped-VMEM limit with the 21-channel dq
+    block); smaller ligands take the next 128-multiple to avoid padding
+    waste.
+    """
+    nl = params.lig_coords.shape[0]
+    return 32, min(384, -(-nl // 128) * 128)
+
+
 def make_pallas_energy_fn(params: BatchScoringParams,
                           interpret: bool = False,
                           cull: bool = True,

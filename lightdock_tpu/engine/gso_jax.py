@@ -297,10 +297,10 @@ class GsoJaxRunner:
         if energy_mode == "pallas":
             # Spatially sort the atom axes so the conservative tile cull
             # bites (semantics unchanged; energy_pallas.spatial_sort_params).
-            from ..ops.pallas_energy import L_TILE, R_TILE
-            from .energy_pallas import spatial_sort_params
-            r_tile = r_tile or R_TILE
-            l_tile = l_tile or L_TILE
+            from .energy_pallas import pick_tiles, spatial_sort_params
+            auto_r, auto_l = pick_tiles(params)
+            r_tile = r_tile or auto_r
+            l_tile = l_tile or auto_l
             params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
         self.params = device_params(params, dtype=dtype)
         if dq_bf16 and self.params.dfire_dq is not None:
