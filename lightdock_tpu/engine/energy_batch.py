@@ -313,22 +313,31 @@ def _dfire_batch(p: BatchScoringParams, d2, xp=np):
 
 def _elec_vdw_parts(p: BatchScoringParams, d2, xp=np):
     dtype = d2.dtype
-    one = xp.ones_like(d2)
-    d2_safe = xp.where(d2 > 0, d2, one)
 
-    elec_mask = d2 <= C.ELEC_DIST_CUTOFF2
-    elec = (p.ele_rec[None, :, None] * p.ele_lig[None, None, :]) / d2_safe
-    elec = xp.clip(elec, C.ELEC_MIN_CUTOFF, C.ELEC_MAX_CUTOFF)
-    total_elec = xp.where(elec_mask, elec, xp.zeros_like(elec)).sum(axis=(1, 2))
+    # d2 == 0 (coincident atoms) follows the reference exactly: division
+    # by zero yields +-inf, which the clamps then pin to the elec cutoffs
+    # (reference src/dna.rs:481-504); the vdw inf - inf becomes NaN and
+    # survives the one-sided min, poisoning the pose's score like the
+    # reference's unguarded float math does.  Measure-zero in practice,
+    # but the device path must agree with the host oracle bit-for-bit on
+    # the branch taken.
+    import contextlib
+    guard = (np.errstate(divide="ignore", invalid="ignore", over="ignore")
+             if xp is np else contextlib.nullcontext())
+    with guard:
+        elec_mask = d2 <= C.ELEC_DIST_CUTOFF2
+        elec = (p.ele_rec[None, :, None] * p.ele_lig[None, None, :]) / d2
+        elec = xp.clip(elec, C.ELEC_MIN_CUTOFF, C.ELEC_MAX_CUTOFF)
+        total_elec = xp.where(elec_mask, elec, xp.zeros_like(elec)).sum(axis=(1, 2))
 
-    vdw_mask = d2 <= C.VDW_DIST_CUTOFF2
-    vdw_energy = xp.sqrt(p.vdw_c_rec[None, :, None] * p.vdw_c_lig[None, None, :])
-    vdw_radius = p.vdw_r_rec[None, :, None] + p.vdw_r_lig[None, None, :]
-    r2 = vdw_radius * vdw_radius
-    p2 = r2 / d2_safe
-    p6 = p2 * p2 * p2
-    k = xp.minimum(vdw_energy * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
-    total_vdw = xp.where(vdw_mask, k, xp.zeros_like(k)).sum(axis=(1, 2))
+        vdw_mask = d2 <= C.VDW_DIST_CUTOFF2
+        vdw_energy = xp.sqrt(p.vdw_c_rec[None, :, None] * p.vdw_c_lig[None, None, :])
+        vdw_radius = p.vdw_r_rec[None, :, None] + p.vdw_r_lig[None, None, :]
+        r2 = vdw_radius * vdw_radius
+        p2 = r2 / d2
+        p6 = p2 * p2 * p2
+        k = xp.minimum(vdw_energy * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
+        total_vdw = xp.where(vdw_mask, k, xp.zeros_like(k)).sum(axis=(1, 2))
 
     raw = total_elec * (C.FACTOR / C.EPSILON) + total_vdw
 

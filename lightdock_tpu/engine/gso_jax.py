@@ -343,23 +343,37 @@ class GsoJaxRunner:
         else:
             raise ValueError(f"unknown energy_mode {energy_mode!r}")
 
-    def load_snapshot(self, path, step: int) -> None:
-        """Resume from a gso_N.out snapshot written at ``step``.
+    def load_snapshot(self, path, step: int = None) -> None:
+        """Resume from a gso_N.out snapshot (written at ``step``).
 
-        Snapshots carry the full swarm state except the RNG position, which
-        is reconstructed as step*G consumed draws (the stream is exactly
-        one draw per glowworm per step, reference src/swarm.rs:118).  This
-        is the resume path the reference lacks (it always restarts from
+        Prefers the full-precision ``.npz`` sidecar written next to every
+        snapshot — resume is then bit-identical to the uninterrupted run.
+        Falls back to parsing the text file (7/8-decimal quantization) for
+        snapshots produced without a sidecar (e.g. by the reference
+        binary), where ``step`` must be given.  The RNG position is
+        reconstructed as step*G consumed draws (the stream is exactly one
+        draw per glowworm per step, reference src/swarm.rs:118).  This is
+        the resume path the reference lacks (it always restarts from
         initial_positions, reference src/bin/lightdock-rust.rs:188).
         """
-        from ..utils.output import read_gso_output
+        from ..utils.output import read_gso_output, read_state_sidecar
         from ..utils.positions import split_positions
 
+        dtype = self.state.t.dtype
+        sidecar = read_state_sidecar(path)
+        if sidecar is not None:
+            sc_step, arrays = sidecar
+            self.state = SwarmState(
+                **{k: jnp.asarray(arrays[k]) for k in SwarmState._fields})
+            self._start_step = int(step) if step else sc_step
+            return
+        if step is None:
+            raise ValueError(
+                f"no sidecar next to {path}; pass the snapshot's step")
         poses, luc, nn, vis, sco = read_gso_output(path)
         t, q, ar, al = split_positions(poses, self.use_anm,
                                        self.state.a_rec.shape[1],
                                        self.state.a_lig.shape[1])
-        dtype = self.state.t.dtype
         self.state = SwarmState(
             t=jnp.asarray(t, dtype=dtype),
             q=jnp.asarray(q, dtype=dtype),
@@ -435,18 +449,25 @@ class GsoJaxRunner:
     def _write_snapshots(self, outs: StepOutput, steps: int, start: int = 0):
         import pathlib
 
-        from ..utils.output import write_gso_output
+        from ..utils.output import write_gso_output, write_state_sidecar
 
         outdir = pathlib.Path(self.output_directory)
         outdir.mkdir(parents=True, exist_ok=True)
         for step in range(start + 1, steps + 1):
             if step % 10 == 0 or step == 1:
                 i = step - 1 - start
+                path = outdir / f"gso_{step}.out"
                 write_gso_output(
-                    outdir / f"gso_{step}.out",
+                    path,
                     self._poses_at(outs, i),
                     np.asarray(outs.luciferin[i], dtype=np.float64),
                     np.asarray(outs.num_neighbors[i]),
                     np.asarray(outs.vision[i], dtype=np.float64),
                     np.asarray(outs.scoring[i], dtype=np.float64),
                 )
+                # Full-precision sidecar: the StepOutput after step i IS
+                # the post-step SwarmState, so resume from it is bit-exact.
+                write_state_sidecar(
+                    path, step,
+                    **{k: np.asarray(getattr(outs, k)[i])
+                       for k in SwarmState._fields})

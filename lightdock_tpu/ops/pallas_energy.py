@@ -387,7 +387,11 @@ def _elec_vdw_kernel(g_count, r_tile, l_tile, n_l_tiles, need_iface,
         @pl.when(_active(act_ref, n_l_tiles, words, r, l, g))
         def _():
             d2 = _tile_distances_exact(rec_ref, lig_ref, g)
-            inv_d2 = 1.0 / jnp.where(d2 > 0, d2, jnp.ones_like(d2))
+            # Unguarded like the reference (src/dna.rs:481-504): d2 == 0
+            # gives inf, clamped to the elec cutoffs / NaN through the vdw
+            # inf - inf.  Padding atoms sit at +-1e6 so padded pairs never
+            # hit d2 == 0.
+            inv_d2 = 1.0 / d2
 
             elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF, C.ELEC_MAX_CUTOFF)
             elec = elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(d2.dtype)

@@ -43,6 +43,39 @@ def write_gso_output(path, poses, luciferin, num_neighbors, vision, scoring) -> 
         format_gso_output(poses, luciferin, num_neighbors, vision, scoring))
 
 
+def sidecar_path(out_path) -> pathlib.Path:
+    """Full-precision checkpoint sidecar next to a gso_N.out file."""
+    p = pathlib.Path(out_path)
+    return p.with_suffix(p.suffix + ".npz")
+
+
+def write_state_sidecar(out_path, step: int, **arrays) -> None:
+    """Write the full-precision swarm state next to the text snapshot.
+
+    The text file quantizes to 7/8 decimals (the reference's format,
+    src/swarm.rs:136-164) which perturbs a resumed trajectory; the sidecar
+    keeps the exact device bits so resume is bit-identical.  The text file
+    stays the compatibility artifact.
+    """
+    np.savez(sidecar_path(out_path), step=np.int64(step),
+             **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def read_state_sidecar(path):
+    """Load a sidecar (accepts the .out path or the .npz path).
+
+    Returns (step, dict of arrays) or None when no sidecar exists.
+    """
+    p = pathlib.Path(path)
+    if p.suffix != ".npz":
+        p = sidecar_path(p)
+    if not p.exists():
+        return None
+    with np.load(p) as z:
+        data = {k: z[k] for k in z.files if k != "step"}
+        return int(z["step"]), data
+
+
 _LINE_RE = re.compile(r"\(([^)]*)\)\s+0\s+0\s+(\S+)\s+(\d+)\s+(\S+)\s+(\S+)")
 
 

@@ -136,6 +136,54 @@ def test_elec_vdw_micro_oracle():
     assert fast == pytest.approx(expected, rel=1e-12)
 
 
+def test_elec_vdw_coincident_pair():
+    """d2 == 0 / d2 -> 0 semantics match the reference's unguarded float
+    math (src/dna.rs:481-504): near-coincident atoms clamp the elec term
+    to the cutoff and saturate vdw, exactly coincident atoms divide by
+    zero (inf -> NaN through the vdw inf - inf) — in the host oracle AND
+    the batched device path alike."""
+    from lightdock_tpu.engine.energy_batch import batch_energy, build_batch_params
+
+    def model(coords):
+        n = len(coords)
+        return DockingModel(
+            method="dna",
+            coordinates=np.asarray(coords, dtype=np.float64),
+            num_anm=0,
+            nmodes=np.zeros((0, n, 3)),
+            membrane=np.zeros(0, dtype=np.int64),
+            active_restraints={},
+            passive_restraints={},
+            ele_charges=np.full(n, 0.5),
+            vdw_charges=np.full(n, 0.2),
+            vdw_radii=np.full(n, 1.5),
+        )
+
+    identity = (np.zeros(3), np.array([1.0, 0, 0, 0]), None, None)
+    zeros = np.zeros((1, 0))
+
+    # Near-coincident (d = 1e-2): elec clamps to ELEC_MAX_CUTOFF, vdw to
+    # VDW_CUTOFF; both paths must take the clamp branch, not substitute a
+    # safe denominator.
+    rec = model([[0.0, 0.0, 0.0]])
+    lig = model([[1e-2, 0.0, 0.0]])
+    host = HostScorer("dna", rec, lig, use_anm=False).energy(*identity)
+    p = build_batch_params(rec, lig, use_anm=False)
+    dev = batch_energy(p, np.zeros((1, 3)), np.array([[1.0, 0, 0, 0]]),
+                       zeros, zeros, xp=np)
+    assert host == -(C.ELEC_MAX_CUTOFF * 332.0 / 4.0 + C.VDW_CUTOFF)
+    assert dev[0] == pytest.approx(host, rel=1e-12)
+
+    # Exactly coincident: the reference's division by zero propagates NaN
+    # through the vdw inf - inf; the device path must agree (not mask it).
+    lig0 = model([[0.0, 0.0, 0.0]])
+    host0 = HostScorer("dna", rec, lig0, use_anm=False).energy(*identity)
+    p0 = build_batch_params(rec, lig0, use_anm=False)
+    dev0 = batch_energy(p0, np.zeros((1, 3)), np.array([[1.0, 0, 0, 0]]),
+                        zeros, zeros, xp=np)
+    assert np.isnan(host0) and np.isnan(dev0[0])
+
+
 @pytest.mark.parametrize("method", ["dna", "pydock"])
 def test_batch_energy_matches_host_oracle(azp_structures, method):
     """Batched (G poses at once) energies == per-pose host oracle."""

@@ -46,24 +46,52 @@ def test_resume_continues_trajectory(tmp_path):
     resumed = GsoJaxRunner(params, pos, seed=324324, use_anm=True, anm_rec=k,
                            anm_lig=k, output_directory=str(outdir2),
                            dtype=jnp.float64)
-    resumed.load_snapshot(outdir / "gso_10.out", 10)
+    resumed.load_snapshot(outdir / "gso_10.out")
     resumed.run(20)
 
-    # Snapshot quantisation (7/8 decimals in the file) perturbs state by
-    # <=5e-8; after 10 further chaotic steps the trajectories must still
-    # agree to ~1e-4 and have identical neighbor structure.
+    # The .npz sidecar holds the exact device bits, so resume must be
+    # bit-identical to the uninterrupted run — no tolerance.
     a = (outdir / "gso_20.out").read_text()
     b = (outdir2 / "gso_20.out").read_text()
-    if a != b:
-        fa = np.asarray(full.state.t)
-        fb = np.asarray(resumed.state.t)
-        np.testing.assert_allclose(fb, fa, rtol=0, atol=1e-3)
+    assert a == b
+    np.testing.assert_array_equal(np.asarray(full.state.t),
+                                  np.asarray(resumed.state.t))
     assert np.array_equal(np.asarray(full.state.num_neighbors),
                           np.asarray(resumed.state.num_neighbors))
 
     # The resumed run must not rewrite pre-resume snapshots.
     assert not (outdir2 / "gso_10.out").exists()
     assert (outdir2 / "gso_20.out").exists()
+
+
+def test_resume_from_text_snapshot(tmp_path):
+    """Without a sidecar (e.g. a reference-produced gso_N.out), resume
+    parses the quantized text file; the trajectory continues approximately
+    (7/8-decimal perturbation) and the step must be given explicitly."""
+    import pytest
+
+    from lightdock_tpu.utils.output import sidecar_path
+
+    params, pos, k = _system()
+    outdir = tmp_path / "full"
+    full = GsoJaxRunner(params, pos, seed=324324, use_anm=True, anm_rec=k,
+                        anm_lig=k, output_directory=str(outdir),
+                        dtype=jnp.float64)
+    full.run(20)
+    sidecar_path(outdir / "gso_10.out").unlink()
+
+    outdir2 = tmp_path / "resumed"
+    resumed = GsoJaxRunner(params, pos, seed=324324, use_anm=True, anm_rec=k,
+                           anm_lig=k, output_directory=str(outdir2),
+                           dtype=jnp.float64)
+    with pytest.raises(ValueError, match="no sidecar"):
+        resumed.load_snapshot(outdir / "gso_10.out")
+    resumed.load_snapshot(outdir / "gso_10.out", 10)
+    resumed.run(20)
+    np.testing.assert_allclose(np.asarray(resumed.state.t),
+                               np.asarray(full.state.t), rtol=0, atol=1e-3)
+    assert np.array_equal(np.asarray(full.state.num_neighbors),
+                          np.asarray(resumed.state.num_neighbors))
 
 
 def test_resume_noop_when_done(tmp_path):
