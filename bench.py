@@ -130,33 +130,30 @@ def main() -> int:
     return 0
 
 
-def aggregate_multiswarm(params, positions, g, n_swarms: int = 4,
-                         steps: int = 20):
+def aggregate_multiswarm(params, positions, g, n_swarms: int = 8,
+                         steps: int = 50):
     """Throughput with several swarms batched per chip (and, on multi-
     device systems, sharded over the swarm mesh axis): the scaling-
-    efficiency figure (SURVEY §7 step 6)."""
+    efficiency figure (SURVEY §7 step 6).  Uses the production farm
+    (flat-batched energy, params uploaded once at construction)."""
     import jax
     import jax.numpy as jnp
 
-    from lightdock_tpu.engine.gso_jax import device_params
-    from lightdock_tpu.parallel.mesh import make_mesh
-    from lightdock_tpu.parallel.multihost import (stack_swarm_states,
-                                                  swarm_randoms)
-    from lightdock_tpu.parallel.sharded import run_multi_swarm
+    from lightdock_tpu.parallel.farm import SwarmFarmRunner
 
     n_dev = len(jax.devices())
     s = max(n_swarms, n_dev)
-    mesh = make_mesh(n_swarm=n_dev, n_atoms=1)
-    states = stack_swarm_states([positions] * s, False, 0, 0, jnp.float32)
-    randoms = swarm_randoms(324324, steps, s, g)
-
-    final, _ = run_multi_swarm(mesh, device_params(params, np.float32),
-                               states, jnp.asarray(randoms, jnp.float32))
-    np.asarray(final.scoring)  # compile
+    runner = SwarmFarmRunner(params, [positions] * s, list(range(s)),
+                             seed=324324, use_anm=False, anm_rec=0, anm_lig=0,
+                             dtype=jnp.float32, output_root=None,
+                             energy_mode="xla")
+    states0 = runner.states
+    runner.run_segmented(steps, segment=steps)  # compile + warm-up
+    np.asarray(runner.states.scoring)
+    runner._start_step, runner.states = 0, states0
     t0 = time.time()
-    final, _ = run_multi_swarm(mesh, device_params(params, np.float32),
-                               states, jnp.asarray(randoms, jnp.float32))
-    np.asarray(final.scoring)
+    runner.run_segmented(steps, segment=steps)
+    np.asarray(runner.states.scoring)
     dt = time.time() - t0
     agg = s * g * steps / dt
     log(f"multi-swarm aggregate: {s} swarms x {steps} steps on {n_dev} "

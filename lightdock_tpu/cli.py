@@ -59,7 +59,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--metrics", metavar="FILE", default=None,
                     help="write JSON-lines run metrics to FILE")
     ap.add_argument("--resume", metavar="GSO_OUT",
-                    help="resume from a previous gso_N.out snapshot")
+                    help="resume from a previous gso_N.out snapshot; in "
+                         "multi-swarm mode pass 'auto' to continue every "
+                         "swarm from its newest sidecar checkpoint")
     ap.add_argument("--resume-step", type=int, default=0,
                     help="step number the snapshot corresponds to")
     return ap
@@ -129,7 +131,8 @@ def run_multi(args, positions_files, log) -> int:
     import jax
     import numpy as np
 
-    from .parallel.multihost import maybe_initialize_distributed, run_swarm_farm
+    from .parallel.farm import run_swarm_farm
+    from .parallel.multihost import maybe_initialize_distributed
     from .simulation import load_simulation
     from .utils.positions import parse_positions, parse_swarm_id
 
@@ -154,19 +157,43 @@ def run_multi(args, positions_files, log) -> int:
     n_pairs = sim.receptor.num_atoms * sim.ligand.num_atoms
     g = positions_list[0].shape[0]
     chunk = (args.energy_chunk if args.energy_chunk is not None
-             else pick_energy_chunk(n_pairs, g, np.dtype(dtype_name).itemsize))
+             else pick_energy_chunk(n_pairs, g * len(positions_list),
+                                    np.dtype(dtype_name).itemsize))
+
+    from .utils.metrics import RunMetrics
+    metrics = RunMetrics(args.metrics, context={
+        "backend": backend, "dtype": dtype_name, "method": sim.method,
+        "pairs": n_pairs, "glowworms": g, "swarms": len(positions_list)})
+    output_root = args.output_dir or "."
 
     import time
     t0 = time.time()
-    run_swarm_farm(sim.batch_params(dtype=np.dtype(dtype_name)),
-                   positions_list, swarm_ids, sim.seed, args.steps,
-                   sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
-                   dtype, output_root=args.output_dir or ".",
-                   energy_chunk=chunk)
+
+    def farm():
+        run_swarm_farm(sim.batch_params(dtype=np.dtype(dtype_name)),
+                       positions_list, swarm_ids, sim.seed, args.steps,
+                       sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                       dtype, output_root=output_root,
+                       energy_chunk=chunk, energy_mode=args.energy_mode,
+                       segment=max(1, args.steps_per_save),
+                       metrics=metrics, resume=bool(args.resume))
+
+    if args.profile:
+        import pathlib as _pl
+        trace_dir = _pl.Path(output_root) / "jax_trace"
+        with jax.profiler.trace(str(trace_dir)):
+            farm()
+        log.info("profiler trace written to %s", trace_dir)
+    else:
+        farm()
+    summary = metrics.summary()
+    metrics.close()
     dt = time.time() - t0
     total_poses = len(positions_list) * g * args.steps
     print(f"Done: {len(positions_list)} swarms x {args.steps} steps in "
           f"{dt:.2f}s ({total_poses / dt:.0f} poses/s aggregate)")
+    if summary["poses_per_s"]:
+        print(f"Throughput: {summary['poses_per_s']} poses/s")
     return 0
 
 

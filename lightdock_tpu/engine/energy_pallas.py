@@ -74,6 +74,18 @@ def spatial_sort_params(params: BatchScoringParams,
     )
 
 
+def validate_tiles(r_tile: int, l_tile: int) -> None:
+    """Fail fast on tile shapes Mosaic cannot lower (the block specs need
+    8-divisible sublane / 128-divisible lane tiles) instead of erroring
+    deep inside kernel lowering."""
+    if not (isinstance(r_tile, int) and r_tile > 0 and r_tile % 8 == 0):
+        raise ValueError(
+            f"r_tile must be a positive multiple of 8, got {r_tile!r}")
+    if not (isinstance(l_tile, int) and l_tile > 0 and l_tile % 128 == 0):
+        raise ValueError(
+            f"l_tile must be a positive multiple of 128, got {l_tile!r}")
+
+
 def pick_tiles(params: BatchScoringParams):
     """Measured-best kernel tile shape for a complex.
 

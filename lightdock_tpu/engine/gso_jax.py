@@ -289,7 +289,8 @@ class GsoJaxRunner:
                  dtype=jnp.float32, energy_chunk: int = 0,
                  energy_mode: str = "xla", cull: bool = True,
                  rng_mode: str = "reference", dq_bf16: bool = False,
-                 r_tile: Optional[int] = None, l_tile: Optional[int] = None):
+                 r_tile: Optional[int] = None, l_tile: Optional[int] = None,
+                 interpret: bool = False):
         from ..utils.rng import uniform_f64_stream
 
         if energy_mode == "auto":
@@ -297,10 +298,12 @@ class GsoJaxRunner:
         if energy_mode == "pallas":
             # Spatially sort the atom axes so the conservative tile cull
             # bites (semantics unchanged; energy_pallas.spatial_sort_params).
-            from .energy_pallas import pick_tiles, spatial_sort_params
+            from .energy_pallas import (pick_tiles, spatial_sort_params,
+                                        validate_tiles)
             auto_r, auto_l = pick_tiles(params)
-            r_tile = r_tile or auto_r
-            l_tile = l_tile or auto_l
+            r_tile = auto_r if r_tile is None else r_tile
+            l_tile = auto_l if l_tile is None else l_tile
+            validate_tiles(r_tile, l_tile)
             params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
         self.params = device_params(params, dtype=dtype)
         if dq_bf16 and self.params.dfire_dq is not None:
@@ -334,7 +337,8 @@ class GsoJaxRunner:
         if energy_mode == "pallas":
             from .energy_pallas import make_pallas_energy_fn
             energy_fn = make_pallas_energy_fn(params, cull=cull,
-                                              r_tile=r_tile, l_tile=l_tile)
+                                              r_tile=r_tile, l_tile=l_tile,
+                                              interpret=interpret)
             self._run_jit = jax.jit(
                 lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
         elif energy_mode == "xla":

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import pathlib
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import numpy as np
@@ -101,14 +101,15 @@ def _swarm_local(x, s_idx: int, swarm_axis: int) -> np.ndarray:
 
 def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
                         steps: int, output_root=".", start_step: int = 0,
-                        swarm_axis: int = 1) -> None:
+                        swarm_axis: int = 1, sidecars: bool = False) -> None:
     """Write swarm_N/gso_step.out files from stacked StepOutput.
 
     ``outs`` leaves are (steps, S, ...) (or (S, steps, ...) with
     swarm_axis=0).  In multi-process runs each host only writes swarms it
-    can address.
+    can address.  ``sidecars`` additionally writes the full-precision
+    ``.npz`` state next to each snapshot (bit-exact resume).
     """
-    from ..utils.output import write_gso_output
+    from ..utils.output import write_gso_output, write_state_sidecar
 
     root = pathlib.Path(output_root)
     addressable = _addressable_swarms(outs, swarm_axis, len(swarm_ids))
@@ -135,54 +136,18 @@ def write_swarm_outputs(outs, swarm_ids: List[int], use_anm: bool,
             if use_anm and local["a_lig"].shape[-1] > 0:
                 cols.append(local["a_lig"][i])
             poses = np.concatenate(cols, axis=1).astype(np.float64)
-            write_gso_output(outdir / f"gso_{step}.out", poses,
+            path = outdir / f"gso_{step}.out"
+            write_gso_output(path, poses,
                              local["luciferin"][i].astype(np.float64),
                              local["num_neighbors"][i],
                              local["vision"][i].astype(np.float64),
                              local["scoring"][i].astype(np.float64))
+            if sidecars:
+                from ..engine.gso_jax import SwarmState
+                write_state_sidecar(path, step,
+                                    **{k: local[k][i]
+                                       for k in SwarmState._fields})
 
 
-def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
-                   swarm_ids: List[int], seed: int, steps: int,
-                   use_anm: bool, anm_rec: int, anm_lig: int,
-                   dtype, output_root=".", energy_chunk: int = 0,
-                   n_atom_shards: int = 1,
-                   devices: Optional[Sequence] = None) -> None:
-    """Run S swarms to completion and write their outputs.
-
-    Single entry point used by the CLI multi-swarm mode: builds the mesh
-    over available devices ((swarm, atoms) axes), stacks the swarms,
-    scans all steps in one program, writes per-swarm snapshot files.
-    """
-    import jax.numpy as jnp
-
-    from .mesh import make_mesh
-    from .sharded import run_multi_swarm, run_multi_swarm_2d
-
-    s = len(positions_list)
-    g = positions_list[0].shape[0]
-    devices = list(devices if devices is not None else jax.devices())
-    n_swarm_axis = max(1, min(s, len(devices) // n_atom_shards))
-    mesh = make_mesh(n_swarm=n_swarm_axis, n_atoms=n_atom_shards)
-
-    # Pad the swarm batch to a multiple of the swarm axis.
-    pad = (-s) % n_swarm_axis
-    padded_positions = list(positions_list) + [positions_list[0]] * pad
-
-    states = stack_swarm_states(padded_positions, use_anm, anm_rec, anm_lig, dtype)
-    randoms = swarm_randoms(seed, steps, len(padded_positions), g)
-
-    if n_atom_shards > 1:
-        final, outs = run_multi_swarm_2d(mesh, params, states, randoms)
-    else:
-        from ..engine.gso_jax import device_params
-        final, outs = run_multi_swarm(mesh, device_params(params, dtype=dtype),
-                                      states, jnp.asarray(randoms, dtype=dtype),
-                                      energy_chunk=energy_chunk)
-        # run_multi_swarm returns (S, steps, ...) via vmap out_axes=0
-        outs = jax.tree_util.tree_map(lambda x: x, outs)
-        write_swarm_outputs(outs, swarm_ids, use_anm, steps,
-                            output_root, swarm_axis=0)
-        return
-    write_swarm_outputs(outs, swarm_ids, use_anm, steps,
-                        output_root, swarm_axis=1)
+# run_swarm_farm lives in parallel.farm (SwarmFarmRunner: flat-batched
+# energy over all swarms, params uploaded once, segments + sidecars).

@@ -127,7 +127,7 @@ def test_multi_swarm_farm_golden_1azp(tmp_path):
     if not reference.exists():
         pytest.skip("reference data unavailable")
     ex = reference / "example/1azp"
-    from lightdock_tpu.parallel.multihost import run_swarm_farm
+    from lightdock_tpu.parallel.farm import run_swarm_farm
     from lightdock_tpu.simulation import load_simulation
     sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
                           "dna", anm_dir=ex)
