@@ -655,8 +655,16 @@ def cull_mask_boxes(rec_centers, rec_half, lig_centers_base, lig_half,
     is exact.  Far tighter than the sphere test for axis-aligned RCB tiles
     (a sphere pays the half-diagonal, up to sqrt(3)x per side).  ANM slack
     (a bound on displacement *norm*) conservatively widens each axis.
-    Padding tiles carry -inf half-extents: gaps become +inf, never active.
+
+    Padding tiles (marked by -inf half-extents from tile_boxes) are masked
+    out *explicitly*: |rot| @ (-inf) produces NaN for any zero rotation
+    entry, so the gap math is done on sanitized extents and a validity
+    mask forces padded pairs inactive regardless of float semantics.
     """
+    valid_r = jnp.isfinite(rec_half).all(-1)                      # (nR,)
+    valid_l = jnp.isfinite(lig_half).all(-1)                      # (nL,)
+    rec_half = jnp.where(valid_r[:, None], rec_half, 0.0)
+    lig_half = jnp.where(valid_l[:, None], lig_half, 0.0)
     lc = jnp.einsum("gab,nb->gna", rot, lig_centers_base) + t[:, None, :]
     lh = jnp.einsum("gab,nb->gna", jnp.abs(rot), lig_half)        # (G, nL, 3)
     slack = (rec_slack + lig_slack)[:, None, None, None]
@@ -664,7 +672,8 @@ def cull_mask_boxes(rec_centers, rec_half, lig_centers_base, lig_half,
     reach = rec_half[None, :, None, :] + lh[:, None, :, :] + slack
     gap = jnp.maximum(diff - reach, 0.0)                          # (G, nR, nL, 3)
     d2_lb = (gap * gap).sum(-1)
-    # -inf half-extent (padding tile): reach=-inf -> gap=+inf -> d2_lb=+inf
+    d2_lb = jnp.where(valid_r[None, :, None] & valid_l[None, None, :],
+                      d2_lb, jnp.inf)
     return [jnp.transpose(d2_lb <= float(c) ** 2, (1, 2, 0)).astype(jnp.int32)
             for c in cutoffs]
 

@@ -99,7 +99,9 @@ def main() -> int:
     else:
         kw.update(energy_mode="pallas", cull=not args.no_cull,
                   r_tile=args.r_tile, l_tile=args.l_tile)
-        log(f"tiles: {args.r_tile or 128}x{args.l_tile or 128} "
+        from lightdock_tpu.engine.energy_pallas import pick_tiles
+        auto_r, auto_l = pick_tiles(params)
+        log(f"tiles: {args.r_tile or auto_r}x{args.l_tile or auto_l} "
             f"cull={not args.no_cull} dq_bf16={args.dq_bf16}")
 
     runner = GsoJaxRunner(params, sim.positions, seed=sim.seed, use_anm=False,

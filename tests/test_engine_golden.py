@@ -34,6 +34,35 @@ def test_1azp_golden_trajectory_jax_engine(reference_dir, tmp_path):
         assert (tmp_path / f"gso_{step}.out").read_text() == golden
 
 
+def test_1ppe_golden_trajectory_dfire(reference_dir, tmp_path):
+    """DFIRE end-to-end golden (1ppe, seed 324324, no ANM): byte-identical
+    gso_1.out / gso_10.out from the device engine.
+
+    Skipped-not-absent when the real DFIRE table is unavailable: the
+    synthetic stand-in produces valid but different scores, so the shipped
+    goldens only verify where data/DCparams exists (mirrors the guarded
+    2oob anchor in test_energy.py).
+    """
+    from lightdock_tpu.scoring.potentials import dfire_data_path
+    if not dfire_data_path().exists():
+        pytest.skip("real DFIRE table (DCparams) not available in this env")
+    import jax.numpy as jnp
+
+    from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+
+    ex = reference_dir / "example/1ppe"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dfire", anm_dir=ex)
+    runner = GsoJaxRunner(sim.batch_params(), sim.positions, sim.seed,
+                          sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                          output_directory=str(tmp_path), dtype=jnp.float64,
+                          energy_chunk=25)
+    runner.run_segmented(10, 10)
+    for step in (1, 10):
+        golden = (ex / f"swarm_0/gso_{step}.out").read_text()
+        assert (tmp_path / f"gso_{step}.out").read_text() == golden
+
+
 @pytest.mark.slow
 def test_1azp_golden_trajectory(reference_dir):
     ex = reference_dir / "example/1azp"

@@ -170,3 +170,22 @@ def test_pick_energy_mode_auto():
     assert big.rec_coords.shape[0] * big.lig_coords.shape[0] >= PALLAS_AUTO_MIN_PAIRS
     # still xla because the test backend is CPU
     assert pick_energy_mode(big) == "xla"
+
+
+def test_pick_energy_mode_auto_tpu(monkeypatch):
+    """On a TPU backend, auto must pick pallas above the pair threshold and
+    stay on XLA below it (positive branch; the CPU suite can't reach it
+    without the monkeypatch)."""
+    import dataclasses
+    import lightdock_tpu.engine.gso_jax as gj
+    monkeypatch.setattr(gj.jax, "default_backend", lambda: "tpu")
+    rng = np.random.RandomState(0)
+    rec, lig = _toy_dfire_models(rng)
+    params = build_batch_params(rec, lig, use_anm=False,
+                                potential=synthetic_potential())
+    assert gj.pick_energy_mode(params) == "xla"  # small complex
+    big = dataclasses.replace(
+        params,
+        rec_coords=np.zeros((4000, 3), np.float32),
+        lig_coords=np.zeros((4000, 3), np.float32))
+    assert gj.pick_energy_mode(big) == "pallas"
