@@ -64,6 +64,9 @@ class BatchScoringParams:
     # DFIRE fast path (gather-free step-function form; see dfire_step_tables)
     dfire_dq: Optional[np.ndarray] = None          # (K, Nr, Nl) delta potentials
     dfire_thresholds: Optional[np.ndarray] = None  # (K,) squared-distance steps
+    # DFIRE type-indexed path (O(Nr+Nl) memory; see dfire_type_tables)
+    dfire_rec_half: Optional[np.ndarray] = None    # (K, Nr, DFIRE_TYPE_PAD)
+    dfire_lig_onehot: Optional[np.ndarray] = None  # (DFIRE_TYPE_PAD, Nl)
 
 
 def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
@@ -112,6 +115,69 @@ def dfire_step_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
     return dq, thresholds[live].astype(dtype)
 
 
+DFIRE_TYPE_PAD = 176  # 169 atom types padded to a sublane multiple (8)
+
+
+def dfire_type_tables(receptor_types: np.ndarray, ligand_types: np.ndarray,
+                      pot_flat: np.ndarray, dist_to_bins: np.ndarray,
+                      dtype=np.float32):
+    """Type-indexed DFIRE step tables: O(Nr + Nl) memory.
+
+    The step-function form's per-pair delta potential is a pure function of
+    the two atom TYPES, ``dT_k[ta, tb]``, so the (K, Nr, Nl) ``dfire_dq``
+    tensor (0.94 GB at 1k4c scale, O(Nr*Nl*K) — the memory wall the
+    reference's O(Nr+Nl) loop never hits, reference src/dfire.rs:325-345)
+    is redundant: factor the type selection as
+
+        dq[k, i, j] = rec_half[k, i, :] @ onehot(tb_j)
+
+    where ``rec_half[k, i, tb] = dT_k[ta_i, tb]`` is the receptor-side half
+    of the contraction (a row gather, built once here) and the ligand side
+    is a one-hot matrix.  The Pallas kernel completes the selection with one
+    (r_tile, TYPE_PAD) @ (TYPE_PAD, l_tile) matmul per channel per tile pair
+    — exact (each output element is a copy of one table entry) at f32-exact
+    matmul precision (Precision.HIGHEST).
+
+    Returns (rec_half (K, Nr, TYPE_PAD), lig_onehot (TYPE_PAD, Nl),
+    thresholds (K,)); channels trimmed to the 15 A cutoff exactly like
+    dfire_step_tables, so thresholds match dfire_dq's channel for channel.
+    """
+    from ..scoring.potentials import potential_by_bins
+
+    num_bins = 32
+    p32 = potential_by_bins(pot_flat, num_bins)            # (169, 169, 32)
+    thresholds = dfire_bin_thresholds(dist_to_bins, num_bins)
+    live = np.nonzero(thresholds <= C.DFIRE_DIST_CUTOFF2)[0]
+    rt = receptor_types.astype(np.int64)
+    lt = ligand_types.astype(np.int64)
+    n_types = p32.shape[0]
+    rec_half = np.zeros((live.size, rt.size, DFIRE_TYPE_PAD), dtype=dtype)
+    for out_i, k in enumerate(live):
+        tbl = p32[:, :, k] - (p32[:, :, k - 1] if k > 0 else 0.0)
+        rec_half[out_i, :, :n_types] = tbl.astype(dtype)[rt]
+    lig_onehot = np.zeros((DFIRE_TYPE_PAD, lt.size), dtype=dtype)
+    lig_onehot[lt, np.arange(lt.size)] = 1.0
+    return rec_half, lig_onehot, thresholds[live].astype(dtype)
+
+
+def ensure_dfire_types(p: "BatchScoringParams",
+                       dtype=np.float64) -> "BatchScoringParams":
+    """Return params with the type-indexed DFIRE tables populated (no-op
+    for non-DFIRE methods or when already present).  Built at f64 by
+    default: device upload downcasts to the run dtype, so f32 runs see
+    exactly the values a direct f32 build would produce and f64 runs stay
+    full-precision."""
+    if p.method != "dfire" or p.dfire_rec_half is not None:
+        return p
+    rec_half, lig_onehot, thresholds = dfire_type_tables(
+        np.asarray(p.atom_types_rec), np.asarray(p.atom_types_lig),
+        np.asarray(p.potential, np.float64), np.asarray(p.dist_to_bins),
+        dtype=dtype)
+    return dataclasses.replace(p, dfire_rec_half=rec_half,
+                               dfire_lig_onehot=lig_onehot,
+                               dfire_thresholds=thresholds)
+
+
 def dfire_bin_thresholds(dist_to_bins, num_bins: int = 32) -> np.ndarray:
     """Squared-distance thresholds s_k at which the DFIRE bin value first
     reaches k (see dfire_step_tables); s_0 = 0 (the baseline bin)."""
@@ -143,8 +209,10 @@ def build_batch_params(receptor: DockingModel, ligand: DockingModel,
 
     dfire_mode: 'gather' keeps the reference-style flat-table gather (host
     oracle / tests), 'steps' precomputes the gather-free (32, Nr, Nl)
-    step-function tables (device fast path; ~4B * 32 * Nr * Nl of HBM),
-    'auto' picks 'steps' for float32 and 'gather' for float64.
+    step-function tables (XLA device fast path; ~4B * 32 * Nr * Nl of HBM),
+    'types' builds the O(Nr+Nl) type-indexed tables instead (Pallas v2
+    kernel path; see dfire_type_tables), 'auto' picks 'steps' for float32
+    and 'gather' for float64.
     """
     method = receptor.method
     mem_mask = np.zeros(receptor.num_atoms, dtype=dtype)
@@ -165,7 +233,11 @@ def build_batch_params(receptor: DockingModel, ligand: DockingModel,
         p.atom_types_rec = receptor.atom_types.astype(np.int32)
         p.atom_types_lig = ligand.atom_types.astype(np.int32)
         pot = potential if potential is not None else potentials.load_potential()
-        p.potential = pot.astype(dtype)
+        # Keep the table at f64 host-side: derived tables (dfire_step_tables
+        # here, ensure_dfire_types later) must difference at full precision
+        # regardless of the run dtype; device upload downcasts to the run
+        # dtype (gso_jax.device_params), which matches casting at build.
+        p.potential = pot.astype(np.float64)
         d2b = tables.dfire_tables()["dist_to_bins"]
         p.dist_to_bins = d2b.astype(np.int32)
         if dfire_mode == "auto":
@@ -173,6 +245,10 @@ def build_batch_params(receptor: DockingModel, ligand: DockingModel,
         if dfire_mode == "steps":
             p.dfire_dq, p.dfire_thresholds = dfire_step_tables(
                 p.atom_types_rec, p.atom_types_lig, pot, d2b, dtype=dtype)
+        elif dfire_mode == "types":
+            p.dfire_rec_half, p.dfire_lig_onehot, p.dfire_thresholds = (
+                dfire_type_tables(p.atom_types_rec, p.atom_types_lig, pot,
+                                  d2b, dtype=np.float64))
     else:
         p.ele_rec = receptor.ele_charges.astype(dtype)
         p.ele_lig = ligand.ele_charges.astype(dtype)

@@ -15,9 +15,11 @@ import numpy as np
 
 from .. import constants as Cst
 from ..ops import quaternion as qt
-from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE,
+from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE, V2_POSE_BLOCK,
                                  anm_mode_bounds, cull_mask_boxes,
-                                 dfire_pairs_pallas, elec_vdw_pairs_pallas,
+                                 dfire_pairs_pallas, dfire_pairs_pallas_v2,
+                                 elec_vdw_pairs_pallas,
+                                 elec_vdw_pairs_pallas_v2,
                                  morton_order, pose_slack, rcb_order,
                                  tile_boxes)
 from .energy_batch import (BatchScoringParams, _bias, dfire_bin_thresholds,
@@ -71,6 +73,8 @@ def spatial_sort_params(params: BatchScoringParams,
         vdw_r_lig=take(params.vdw_r_lig, 0, pl_),
         dfire_dq=(None if params.dfire_dq is None
                   else np.asarray(params.dfire_dq)[:, pr][:, :, pl_]),
+        dfire_rec_half=take(params.dfire_rec_half, 1, pr),
+        dfire_lig_onehot=take(params.dfire_lig_onehot, 1, pl_),
     )
 
 
@@ -100,16 +104,31 @@ def pick_tiles(params: BatchScoringParams):
     return 32, min(384, -(-nl // 128) * 128)
 
 
+def resolve_kernel(params: BatchScoringParams, kernel: str = "auto") -> str:
+    """'auto' -> the pose-chunked v2 kernel wherever its inputs exist:
+    always for elec/vdw, for DFIRE when the type-indexed tables are present
+    (engine.energy_batch.ensure_dfire_types), else the v1 per-pose kernel
+    (which needs the (K, Nr, Nl) dq tensor)."""
+    if kernel != "auto":
+        return kernel
+    if params.method != "dfire":
+        return "v2"
+    return "v2" if params.dfire_rec_half is not None else "v1"
+
+
 def make_pallas_energy_fn(params: BatchScoringParams,
                           interpret: bool = False,
                           cull: bool = True,
-                          r_tile: int = R_TILE, l_tile: int = L_TILE):
+                          r_tile: int = R_TILE, l_tile: int = L_TILE,
+                          kernel: str = "auto"):
     """Build energy_fn(params, t, q, a_rec, a_lig) -> (G,) scores.
 
     The returned closure captures only small host-side geometry constants
     (tile bounding spheres, ANM mode bounds, bin thresholds); all large
-    tensors flow through the ``params`` pytree argument.
+    tensors flow through the ``params`` pytree argument.  ``kernel``
+    selects the Pallas generation (see resolve_kernel).
     """
+    kernel = resolve_kernel(params, kernel)
     method = params.method
     nr = params.rec_coords.shape[0]
     nl = params.lig_coords.shape[0]
@@ -147,10 +166,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                   or params.lig_res_onehot.shape[0] > 0
                   or params.rec_num_membrane > 0)
     if method == "dfire":
-        if params.dfire_dq is None:
-            raise ValueError("pallas DFIRE path needs dfire_mode='steps' params")
-        # Already trimmed to in-cutoff channels, matched 1:1 with dfire_dq
-        # (see energy_batch.dfire_step_tables).
+        if kernel == "v1" and params.dfire_dq is None:
+            raise ValueError("pallas v1 DFIRE path needs dfire_mode='steps' "
+                             "params")
+        if kernel == "v2" and params.dfire_rec_half is None:
+            raise ValueError("pallas v2 DFIRE path needs the type-indexed "
+                             "tables (energy_batch.ensure_dfire_types)")
+        # Already trimmed to in-cutoff channels, matched 1:1 with dq /
+        # rec_half channels (energy_batch.dfire_step_tables / _type_tables).
         thresholds = tuple(
             float(x) for x in np.asarray(params.dfire_thresholds, np.float64))
     n_r = -(-nr // r_tile)
@@ -170,6 +193,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     center = jnp.asarray(np.asarray(params.rec_coords, dtype=np.float64)
                          .mean(axis=0).astype(dtype))
 
+    rec_anm = params.use_anm and params.rec_nmodes.shape[0] > 0
+
     def energy_fn(p: BatchScoringParams, t, q, a_rec, a_lig):
         g = t.shape[0]
         rot = qt.rotation_matrix(q, jnp)                     # (G, 3, 3)
@@ -180,10 +205,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             lig = lig + jnp.einsum("gk,knc->gcn", a_lig, p.lig_nmodes)
         # Receptor: ANM only, laid out (G, Nr, 3) — atoms on the sublane
         # axis so narrow receptor tiles are legal (ops.pallas_energy).
+        # Rigid receptors stay (1, Nr, 3) for the v2 kernel (every pose
+        # shares the block; the broadcast over poses is free in-kernel).
         rec_base = p.rec_coords - center[None, :]
-        if p.use_anm and p.rec_nmodes.shape[0] > 0:
+        if rec_anm:
             rec_all = rec_base[None] + jnp.einsum("gk,knc->gnc", a_rec,
                                                   p.rec_nmodes)
+        elif kernel == "v2":
+            rec_all = rec_base[None]
         else:
             rec_all = jnp.broadcast_to(rec_base[None], (g, nr, 3))
 
@@ -201,7 +230,25 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
             act_iface = act
 
-        if method == "dfire":
+        if kernel == "v2":
+            # Energy-cutoff bits at pose-chunk granularity (OR over each
+            # P-pose chunk); interface bits stay per pose.
+            p_blk = V2_POSE_BLOCK
+            gp = -(-g // p_blk) * p_blk
+            act_c = jnp.pad(act, ((0, 0), (0, 0), (0, gp - g)))
+            act_c = act_c.reshape(n_r, n_l, gp // p_blk, p_blk).max(axis=-1)
+            if method == "dfire":
+                raw, ifr, ifl = dfire_pairs_pallas_v2(
+                    rec_all, lig, p.dfire_rec_half, p.dfire_lig_onehot,
+                    thresholds, act_c, act_iface, interpret=interpret,
+                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface)
+            else:
+                raw, ifr, ifl = elec_vdw_pairs_pallas_v2(
+                    rec_all, lig, p.ele_rec, p.ele_lig,
+                    p.vdw_c_rec, p.vdw_c_lig, p.vdw_r_rec, p.vdw_r_lig,
+                    act_c, act_iface, interpret=interpret,
+                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface)
+        elif method == "dfire":
             raw, ifr, ifl = dfire_pairs_pallas(
                 rec_all, lig, p.dfire_dq, thresholds, act, act_iface,
                 interpret=interpret, r_tile=r_tile, l_tile=l_tile,

@@ -295,7 +295,15 @@ class GsoJaxRunner:
 
         if energy_mode == "auto":
             energy_mode = pick_energy_mode(params)
-        if energy_mode == "pallas":
+        self._pallas_kernel = None
+        if energy_mode in ("pallas", "pallas_v1"):
+            self._pallas_kernel = "v1" if energy_mode == "pallas_v1" else "auto"
+            if energy_mode == "pallas" and params.method == "dfire":
+                # v2 kernel: type-indexed tables (O(Nr+Nl)); the O(Nr*Nl*K)
+                # dq tensor is redundant — drop it so it is never uploaded.
+                from .energy_batch import ensure_dfire_types
+                params = ensure_dfire_types(params)
+                params = dataclasses.replace(params, dfire_dq=None)
             # Spatially sort the atom axes so the conservative tile cull
             # bites (semantics unchanged; energy_pallas.spatial_sort_params).
             from .energy_pallas import (pick_tiles, spatial_sort_params,
@@ -334,11 +342,12 @@ class GsoJaxRunner:
         else:
             raise ValueError(f"unknown rng_mode {rng_mode!r}")
         self._start_step = 0  # completed steps (for resume)
-        if energy_mode == "pallas":
+        if energy_mode in ("pallas", "pallas_v1"):
             from .energy_pallas import make_pallas_energy_fn
             energy_fn = make_pallas_energy_fn(params, cull=cull,
                                               r_tile=r_tile, l_tile=l_tile,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              kernel=self._pallas_kernel)
             self._run_jit = jax.jit(
                 lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
         elif energy_mode == "xla":

@@ -496,6 +496,355 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 
 
 # --------------------------------------------------------------------------
+# v2 kernels: pose-chunked working set + type-indexed DFIRE tables
+# --------------------------------------------------------------------------
+#
+# The v1 kernels loop poses one at a time inside each (r, l) tile: every
+# pose pays a fixed cost (cull-bit test, d2 formation, reduction plumbing)
+# that measured at ~3-5x the actual per-pair math on small complexes —
+# which is why v1 lost to the fused XLA path at the 1ppe flagship shape.
+# v2 processes POSE_BLOCK poses per iteration as the *leading* axis of a
+# (P, r_tile, l_tile) working block: pose p lives on the outer (vreg-group)
+# dimension, so per-pose slices are free, broadcasts of per-tile quantities
+# over poses are zero-copy, and all per-pair math runs on P*r_tile*l_tile
+# elements per VPU op.  Per-pose scalarization disappears entirely: pose
+# sums leave the tile as one (P, 1, 1) lane+sublane reduction added to a
+# (G, 1, 1) resident accumulator at a P-aligned dynamic offset.
+#
+# DFIRE additionally drops the (K, Nr, Nl) dq tensor (O(Nr*Nl*K) HBM — the
+# scale wall, VERDICT round 1 #2): the per-tile delta-potential block is
+# reconstructed in VMEM once per tile pair from the type-factored form
+#     dq_tile[k] = rec_half[k] @ lig_onehot        (exact one-hot selection)
+# with rec_half (K, Nr, TYPE_PAD) and lig_onehot (TYPE_PAD, Nl) both
+# O(atoms).  The matmul is a selection (each output copies one table
+# entry), so Precision.HIGHEST makes it bit-exact vs the gathered dq.
+#
+# Culling happens at pose-chunk granularity for the energy cutoff (bits
+# are OR-reduced over each P-pose chunk) and at per-pose granularity for
+# the much tighter interface cutoff (the v1 masked-onehot RMW accumulation
+# is reused per pose under that bit).
+#
+# The receptor block is (1, Nr, 3) when the receptor is rigid (no receptor
+# ANM: every pose sees the same receptor — 1ppe/1k4c) and (G, Nr, 3) when
+# receptor ANM displaces it per pose; the kernel slices per-chunk rows in
+# the latter case, so ANM workloads (1azp/2uuy/1czy) use the same kernel.
+
+
+V2_POSE_BLOCK = 8
+
+
+def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
+    """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
+    difference (exactly the XLA path's rounding; poses on the outer dim,
+    so every broadcast below is native: sublane 1->r_tile for the ligand
+    rows, lane 1->l_tile for the receptor columns, outer 1->P for a rigid
+    receptor)."""
+    d2 = None
+    for cc in range(3):
+        lrow = lig_ref[pl.ds(c0, p_block), cc:cc + 1, :]      # (P, 1, L)
+        if rec_per_pose:
+            rcol = rec_ref[pl.ds(c0, p_block), :, cc:cc + 1]  # (P, R, 1)
+        else:
+            rcol = rec_ref[:, :, cc:cc + 1]                   # (1, R, 1)
+        diff = lrow - rcol
+        term = diff * diff
+        d2 = term if d2 is None else d2 + term
+    return d2
+
+
+def _v2_store_pose_sums(raw_ref, cm, c0, p_block):
+    """Fold (P, r_tile, l_tile) contributions to per-pose scalars and add
+    them to the (G, 1, 1) resident accumulator: one lane reduction, one
+    sublane reduction, one P-aligned dynamic-slice add — no per-pose
+    scalarization."""
+    sums = cm.sum(axis=2, keepdims=True).sum(axis=1, keepdims=True)  # (P,1,1)
+    cur = raw_ref[pl.ds(c0, p_block), :, :]
+    raw_ref[pl.ds(c0, p_block), :, :] = cur + sums
+
+
+def _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2, r, l, c0,
+              p_block, g_count, n_l_tiles, r_tile, l_tile):
+    """Per-pose interface accumulation under the tight per-pose cull bit
+    (reuses the v1 masked-onehot RMW scheme; pose slices of d2 are free
+    outer-dim indexing)."""
+    gwords = -(-g_count // 32)
+    for p in range(p_block):
+        g = c0 + p
+
+        @pl.when(_active(iface_act_ref, n_l_tiles, gwords, r, l, g))
+        def _(p=p, g=g):
+            close = (d2[p] <= iface2).astype(d2.dtype)
+            onehot = _pose_onehot(g, g_count, d2.dtype)
+            onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
+            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g,
+                              onehot, onehot_row, r_tile, l_tile)
+
+
+def _v2_tile_any(act_ref, n_l_tiles, cwords, r, l):
+    """OR of this tile pair's chunk-activity words (cheap whole-tile skip)."""
+    acc = None
+    base = (r * n_l_tiles + l) * cwords
+    for i in range(cwords):
+        w = act_ref[base + i]
+        acc = w if acc is None else (acc | w)
+    return acc != jnp.uint32(0)
+
+
+def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                     need_iface, rec_per_pose, n_k,
+                     act_ref, iface_act_ref, rec_ref, lig_ref, rh_ref,
+                     loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
+    r = pl.program_id(0)
+    l = pl.program_id(1)
+    p_block = V2_POSE_BLOCK
+    n_chunks = g_count // p_block
+    cwords = -(-n_chunks // 32)
+    dtype = raw_ref.dtype
+    iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
+
+    @pl.when((r == 0) & (l == 0))
+    def _():
+        raw_ref[...] = jnp.zeros_like(raw_ref)
+        ifr_ref[...] = jnp.zeros_like(ifr_ref)
+        ifl_ref[...] = jnp.zeros_like(ifl_ref)
+
+    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l))
+    def _():
+        # Reconstruct the tile's delta-potential block from the type
+        # factorization: exact one-hot selection per channel (HIGHEST).
+        for k in range(n_k):
+            dq_scr[k] = jax.lax.dot_general(
+                rh_ref[k], loh_ref[...], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype)
+
+        def chunk_body(c, _):
+            @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
+            def _():
+                c0 = pl.multiple_of(c * p_block, p_block)
+                d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+                contrib = jnp.broadcast_to(dq_scr[0:1], d2.shape).astype(dtype)
+                for k, s in enumerate(thresholds):
+                    if k == 0 or not (s <= C.DFIRE_DIST_CUTOFF2):
+                        continue
+                    contrib = jnp.where(d2 >= s, contrib + dq_scr[k:k + 1],
+                                        contrib)
+                in_cut = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(dtype)
+                _v2_store_pose_sums(raw_ref, contrib * in_cut, c0, p_block)
+                if need_iface:
+                    _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2,
+                              r, l, c0, p_block, g_count, n_l_tiles,
+                              r_tile, l_tile)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
+
+
+def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
+                          active_chunks, iface_active,
+                          interpret: bool = False,
+                          r_tile: int = R_TILE, l_tile: int = L_TILE,
+                          need_iface: bool = True):
+    """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
+
+    rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
+    lig_all: (G, 3, Nl) transformed ligand coordinates; rec_half
+    (K, Nr, TYPE_PAD) / lig_onehot (TYPE_PAD, Nl): the type-factored
+    delta-potential tables (engine.energy_batch.dfire_type_tables);
+    active_chunks: (nR, nL, ceil(G/P)) chunk-granularity cull bits;
+    iface_active: (nR, nL, G) per-pose interface-cutoff bits.  Returns
+    (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with atom padding
+    retained (slice with the true Nr/Nl).
+    """
+    g = lig_all.shape[0]
+    p_block = V2_POSE_BLOCK
+    gp = -(-g // p_block) * p_block
+    dtype = lig_all.dtype
+    rec_per_pose = rec_all.shape[0] != 1
+    # Pose padding: far-away coordinates make every padded pose miss every
+    # cutoff; its raw/iface rows are sliced off below.
+    lig_all = _pad_to(lig_all, 0, p_block, 1e6)
+    if rec_per_pose:
+        rec_all = _pad_to(rec_all, 0, p_block, 1e6)
+    rec_all = _pad_to(rec_all, 1, r_tile, 1e6)
+    lig_all = _pad_to(lig_all, 2, l_tile, -1e6)
+    rec_half = _pad_to(rec_half, 1, r_tile, 0.0)
+    lig_onehot = _pad_to(lig_onehot, 1, l_tile, 0.0)
+    nr, nl = rec_half.shape[1], lig_onehot.shape[1]
+    n_r, n_l = nr // r_tile, nl // l_tile
+    n_k = rec_half.shape[0]
+    type_pad = rec_half.shape[2]
+    n_chunks = gp // p_block
+    assert active_chunks.shape == (n_r, n_l, n_chunks), (
+        active_chunks.shape, (n_r, n_l, n_chunks))
+    iface_active = _pad_to(iface_active, 2, p_block, 0)
+    assert iface_active.shape == (n_r, n_l, gp)
+
+    kernel = functools.partial(
+        _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
+        l_tile, n_l, need_iface, rec_per_pose, n_k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_r, n_l),
+        in_specs=[
+            pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
+                         lambda r, l, *_: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, 3, l_tile), lambda r, l, *_: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_k, r_tile, type_pad), lambda r, l, *_: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((type_pad, l_tile), lambda r, l, *_: (0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gp, 1, 1), lambda r, l, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, gp), lambda r, l, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, nl), lambda r, l, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_k, r_tile, l_tile), dtype)],
+    )
+    raw, ifr, ifl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gp, 1, 1), dtype),
+            jax.ShapeDtypeStruct((nr, gp), dtype),
+            jax.ShapeDtypeStruct((gp, nl), dtype),
+        ],
+        interpret=interpret,
+    )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
+      rec_all, lig_all, rec_half, lig_onehot)
+    return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
+
+
+def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
+                        rec_per_pose,
+                        act_ref, iface_act_ref, rec_ref, lig_ref,
+                        qr_ref, ql_ref, vcr_ref, vcl_ref, vrr_ref, vrl_ref,
+                        raw_ref, ifr_ref, ifl_ref):
+    r = pl.program_id(0)
+    l = pl.program_id(1)
+    p_block = V2_POSE_BLOCK
+    n_chunks = g_count // p_block
+    cwords = -(-n_chunks // 32)
+    dtype = raw_ref.dtype
+
+    @pl.when((r == 0) & (l == 0))
+    def _():
+        raw_ref[...] = jnp.zeros_like(raw_ref)
+        ifr_ref[...] = jnp.zeros_like(ifr_ref)
+        ifl_ref[...] = jnp.zeros_like(ifl_ref)
+
+    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l))
+    def _():
+        # Per-tile-pair pair parameters, shared by every pose (leading unit
+        # dim: free outer broadcast over the pose axis).
+        qq = (qr_ref[...] * ql_ref[...])[None]            # (1, R, L)
+        ve = jnp.sqrt(vcr_ref[...] * vcl_ref[...])[None]
+        vr = vrr_ref[...] + vrl_ref[...]
+        vr2 = (vr * vr)[None]
+
+        def chunk_body(c, _):
+            @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
+            def _():
+                c0 = pl.multiple_of(c * p_block, p_block)
+                d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+                # Unguarded like the reference (src/dna.rs:481-504): d2 == 0
+                # -> inf, clamped for elec / NaN through the vdw inf - inf.
+                inv_d2 = 1.0 / d2
+                elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF,
+                                C.ELEC_MAX_CUTOFF)
+                elec = elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(dtype)
+                p2 = vr2 * inv_d2
+                p6 = p2 * p2 * p2
+                k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
+                k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(dtype)
+                combined = elec * (C.FACTOR / C.EPSILON) + k
+                _v2_store_pose_sums(raw_ref, combined, c0, p_block)
+                if need_iface:
+                    _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                              C.INTERFACE_CUTOFF2, r, l, c0, p_block,
+                              g_count, n_l_tiles, r_tile, l_tile)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
+
+
+def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
+                             vdw_c_rec, vdw_c_lig, vdw_r_rec, vdw_r_lig,
+                             active_chunks, iface_active,
+                             interpret: bool = False,
+                             r_tile: int = R_TILE, l_tile: int = L_TILE,
+                             need_iface: bool = True):
+    """Raw elec+vdw pair sums + interface flags for G poses (v2 kernel;
+    DNA/PYDOCK).  rec_all is (1, Nr, 3) rigid or (G, Nr, 3) with receptor
+    ANM; see dfire_pairs_pallas_v2 for the pose-chunk scheme and padding
+    semantics (padded atoms carry zero charges / radius 1 at +-1e6)."""
+    g = lig_all.shape[0]
+    p_block = V2_POSE_BLOCK
+    gp = -(-g // p_block) * p_block
+    dtype = lig_all.dtype
+    rec_per_pose = rec_all.shape[0] != 1
+    lig_all = _pad_to(lig_all, 0, p_block, 1e6)
+    if rec_per_pose:
+        rec_all = _pad_to(rec_all, 0, p_block, 1e6)
+    rec_all = _pad_to(rec_all, 1, r_tile, 1e6)
+    lig_all = _pad_to(lig_all, 2, l_tile, -1e6)
+    col = lambda x: _pad_to(x.reshape(-1, 1), 0, r_tile, 0.0)
+    row = lambda x: _pad_to(x.reshape(1, -1), 1, l_tile, 0.0)
+    qr, ql = col(ele_rec), row(ele_lig)
+    vcr, vcl = col(vdw_c_rec), row(vdw_c_lig)
+    vrr = _pad_to(vdw_r_rec.reshape(-1, 1), 0, r_tile, 1.0)
+    vrl = _pad_to(vdw_r_lig.reshape(1, -1), 1, l_tile, 1.0)
+    nr, nl = qr.shape[0], ql.shape[1]
+    n_r, n_l = nr // r_tile, nl // l_tile
+    n_chunks = gp // p_block
+    assert active_chunks.shape == (n_r, n_l, n_chunks)
+    iface_active = _pad_to(iface_active, 2, p_block, 0)
+
+    kernel = functools.partial(_elec_vdw_kernel_v2, gp, r_tile, l_tile, n_l,
+                               need_iface, rec_per_pose)
+    col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_r, n_l),
+        in_specs=[
+            pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
+                         lambda r, l, *_: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, 3, l_tile), lambda r, l, *_: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            col_spec, row_spec, col_spec, row_spec, col_spec, row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((gp, 1, 1), lambda r, l, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, gp), lambda r, l, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp, nl), lambda r, l, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    raw, ifr, ifl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gp, 1, 1), dtype),
+            jax.ShapeDtypeStruct((nr, gp), dtype),
+            jax.ShapeDtypeStruct((gp, nl), dtype),
+        ],
+        interpret=interpret,
+    )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
+      rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
+    return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
+
+
+# --------------------------------------------------------------------------
 # Conservative tile culling
 # --------------------------------------------------------------------------
 

@@ -111,11 +111,19 @@ class SwarmFarmRunner:
         if energy_mode == "auto":
             energy_mode = pick_energy_mode(params)
         self.energy_mode = energy_mode
-        if energy_mode == "pallas":
+        if energy_mode in ("pallas", "pallas_v1"):
+            import dataclasses as _dc
+
+            from ..engine.energy_batch import ensure_dfire_types
             from ..engine.energy_pallas import (make_pallas_energy_fn,
                                                 pick_tiles,
                                                 spatial_sort_params,
                                                 validate_tiles)
+            kernel = "v1" if energy_mode == "pallas_v1" else "auto"
+            if energy_mode == "pallas" and params.method == "dfire":
+                # v2 kernel: type-indexed tables; drop the O(Nr*Nl*K) dq.
+                params = ensure_dfire_types(params)
+                params = _dc.replace(params, dfire_dq=None)
             auto_r, auto_l = pick_tiles(params)
             r_tile = auto_r if r_tile is None else r_tile
             l_tile = auto_l if l_tile is None else l_tile
@@ -123,7 +131,8 @@ class SwarmFarmRunner:
             params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
             energy_fn = make_pallas_energy_fn(params, cull=cull,
                                               r_tile=r_tile, l_tile=l_tile,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              kernel=kernel)
         elif energy_mode == "xla":
             energy_fn = functools.partial(batch_energy_chunked,
                                           chunk=energy_chunk)

@@ -196,6 +196,70 @@ def test_bf16_dq_mode_xla_path():
     assert rel < 0.05
 
 
+@pytest.mark.parametrize("method", ["dfire", "dna", "pydock"])
+@pytest.mark.parametrize("num_anm", [0, 2])
+def test_pallas_v2_matches_xla(method, num_anm):
+    """The pose-chunked v2 kernel (type-indexed DFIRE, rigid-receptor fast
+    layout when num_anm == 0) matches the XLA batch path; the atol absorbs
+    f32 accumulation-order noise on near-zero scores."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system(method, num_anm=num_anm)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    # Culled and uncalled must agree exactly (conservative bounds).
+    full = make_pallas_energy_fn(params, interpret=True, cull=False,
+                                 kernel="v2")(dp, *pose)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+
+
+def test_dfire_type_tables_match_dq():
+    """The type factorization must reproduce the dq tensor exactly:
+    rec_half[k] @ lig_onehot == dfire_dq[k] bit-for-bit (both select the
+    same f32 table entries)."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, _ = _system("dfire")
+    params = ensure_dfire_types(params)
+    dq = np.asarray(params.dfire_dq)           # f32 (build dtype)
+    rh = np.asarray(params.dfire_rec_half)     # f64 (downcast on upload)
+    oh = np.asarray(params.dfire_lig_onehot)
+    rebuilt = np.einsum("kit,tj->kij", rh, oh).astype(np.float32)
+    np.testing.assert_array_equal(rebuilt, dq)
+
+
+def test_pallas_v2_resolve_kernel():
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    from lightdock_tpu.engine.energy_pallas import resolve_kernel
+    params, _ = _system("dfire")
+    assert resolve_kernel(params) == "v1"          # no type tables yet
+    assert resolve_kernel(ensure_dfire_types(params)) == "v2"
+    dna, _ = _system("dna")
+    assert resolve_kernel(dna) == "v2"
+    assert resolve_kernel(dna, "v1") == "v1"
+
+
+def test_pallas_v2_odd_pose_count():
+    """G not a multiple of the pose block exercises pose padding (padded
+    poses must contribute nothing and be sliced off)."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    t, q, ar, al = pose
+    for g in (3, 11):
+        sub = (t[:g], q[:g], ar[:g], al[:g])
+        ref = batch_energy(dp, *sub, xp=jnp)
+        out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                    kernel="v2")(dp, *sub)
+        assert out.shape == (g,)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)
+
+
 def test_pallas_no_bias_system():
     """A system with no restraints and no membrane skips interface work
     (need_iface static flag) and must still match the XLA path."""
