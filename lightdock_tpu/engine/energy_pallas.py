@@ -138,6 +138,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     # owns exactly (tile/sub) sub-boxes (-inf half-extents never fire).
     r_sub = R_SUB if r_tile % R_SUB == 0 else r_tile
     l_sub = L_SUB if l_tile % L_SUB == 0 else l_tile
+    # The cull test materializes (G, nR_sub, nL_sub, 3) intermediates; at
+    # very large complexes sub-box refinement would dwarf the kernel's own
+    # memory (8k x 8k: 2.5 GB).  Fall back to kernel-tile granularity when
+    # the fine grid would exceed ~2^25 boxes-pairs per pose-batch of 200.
+    nr_sub = -(-params.rec_coords.shape[0] // r_sub)
+    nl_sub = -(-params.lig_coords.shape[0] // l_sub)
+    if nr_sub * nl_sub * 200 > 2 ** 25:
+        r_sub, l_sub = r_tile, l_tile
     rec_centers, rec_half = tile_boxes(params.rec_coords, r_sub)
     lig_centers, lig_half = tile_boxes(params.lig_coords, l_sub)
 
@@ -195,7 +203,22 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
     rec_anm = params.use_anm and params.rec_nmodes.shape[0] > 0
 
-    def energy_fn(p: BatchScoringParams, t, q, a_rec, a_lig):
+    def energy_fn(p: BatchScoringParams, t, q, a_rec, a_lig,
+                  moved=None, prev_scoring=None):
+        """(G,) scores.  With ``moved``/``prev_scoring`` given, unmoved
+        poses are skipped (the reference's moved||step==0 rescoring gate,
+        src/glowworm.rs:61-72): poses are permuted moved-first so skipped
+        poses pack into whole pose chunks the kernels never touch, their
+        cull bits are zeroed, and their stored scores pass through."""
+        if moved is not None and prev_scoring is not None:
+            order = jnp.argsort(jnp.logical_not(moved))   # moved first
+            inv = jnp.argsort(order)
+            perm = _compute(p, t[order], q[order], a_rec[order],
+                            a_lig[order], moved[order])
+            return jnp.where(moved, perm[inv], prev_scoring)
+        return _compute(p, t, q, a_rec, a_lig, None)
+
+    def _compute(p: BatchScoringParams, t, q, a_rec, a_lig, moved):
         g = t.shape[0]
         rot = qt.rotation_matrix(q, jnp)                     # (G, 3, 3)
         # Ligand: rotate + translate + ANM, laid out (G, 3, Nl).
@@ -229,6 +252,11 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         else:
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
             act_iface = act
+
+        if moved is not None:
+            gate = moved.astype(act.dtype)[None, None, :]
+            act = act * gate
+            act_iface = act_iface * gate
 
         if kernel == "v2":
             # Energy-cutoff bits at pose-chunk granularity (OR over each

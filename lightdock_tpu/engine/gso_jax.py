@@ -119,7 +119,11 @@ def init_state(positions: np.ndarray, use_anm: bool, anm_rec: int, anm_lig: int,
         luciferin=jnp.full((g,), C.GSO_INITIAL_LUCIFERIN, dtype=dtype),
         vision=jnp.full((g,), C.GSO_INITIAL_VISION_RANGE, dtype=dtype),
         scoring=jnp.zeros((g,), dtype=dtype),
-        num_neighbors=jnp.zeros((g,), dtype=jnp.int32),
+        # 1, not 0: num_neighbors>0 doubles as the "moved last phase"
+        # rescoring gate (gso_step) and every pose must score on step one
+        # (the reference's step==0 branch, src/glowworm.rs:62).  Resumed
+        # states carry their real neighbor counts instead.
+        num_neighbors=jnp.ones((g,), dtype=jnp.int32),
     )
 
 
@@ -127,9 +131,16 @@ def init_state(positions: np.ndarray, use_anm: bool, anm_rec: int, anm_lig: int,
 
 
 def batch_energy_chunked(params: BatchScoringParams, t, q, a_rec, a_lig,
-                         chunk: int = 0):
+                         chunk: int = 0, moved=None, prev_scoring=None):
     """Scores for G poses; ``chunk`` > 0 processes the glowworm axis in
-    chunks under lax.map to bound the (chunk, Nr, Nl) working set."""
+    chunks under lax.map to bound the (chunk, Nr, Nl) working set.
+
+    ``moved``/``prev_scoring`` (the reference's moved||step==0 rescoring
+    gate, src/glowworm.rs:61-72) are accepted for interface compatibility
+    and ignored: on the dense XLA path uniform recomputation is free-by
+    -construction (a recomputed score of an unmoved pose is bit-identical
+    to the stored one), while the Pallas path uses them to skip work.
+    """
     g = t.shape[0]
     if chunk <= 0 or chunk >= g:
         return batch_energy(params, t, q, a_rec, a_lig, xp=jnp)
@@ -166,7 +177,13 @@ def gso_step(params: BatchScoringParams, state: SwarmState, randoms,
     dtype = state.t.dtype
 
     # 1. Scoring + luciferin update (reference src/glowworm.rs:61-72).
-    scoring = energy_fn(params, state.t, state.q, state.a_rec, state.a_lig)
+    #    A glowworm moved in the last movement phase iff it had neighbors
+    #    (init_state seeds num_neighbors=1 so the first step scores all,
+    #    the reference's step==0 branch); energy paths may use the gate to
+    #    skip rescoring unmoved poses — the reference's exact semantics.
+    moved_prev = state.num_neighbors > 0
+    scoring = energy_fn(params, state.t, state.q, state.a_rec, state.a_lig,
+                        moved=moved_prev, prev_scoring=state.scoring)
     scoring = scoring.astype(dtype)
     luciferin = (1.0 - C.GSO_RHO) * state.luciferin + C.GSO_GAMMA * scoring
 

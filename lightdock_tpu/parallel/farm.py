@@ -61,10 +61,14 @@ def make_farm_step(energy_fn_flat):
             states.q.reshape(s * g, 4),
             states.a_rec.reshape(s * g, -1),
             states.a_lig.reshape(s * g, -1),
+            # moved||step==0 rescoring gate (reference src/glowworm.rs:62):
+            # the Pallas path skips unmoved poses, XLA ignores it.
+            moved=(states.num_neighbors > 0).reshape(s * g),
+            prev_scoring=states.scoring.reshape(s * g),
         ).reshape(s, g)
 
         def move(st, r, sc):
-            return gso_step(params, st, r, energy_fn=lambda *_: sc)
+            return gso_step(params, st, r, energy_fn=lambda *a, **k: sc)
 
         return jax.vmap(move)(states, randoms, scores)
 

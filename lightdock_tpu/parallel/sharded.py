@@ -135,8 +135,12 @@ def params_atom_specs(params: BatchScoringParams) -> BatchScoringParams:
 
 
 def atom_sharded_energy(p_local: BatchScoringParams, t, q, a_rec, a_lig,
-                        axis_name: str = ATOM_AXIS):
+                        axis_name: str = ATOM_AXIS,
+                        moved=None, prev_scoring=None):
     """Pair energy with receptor atoms sharded over ``axis_name``.
+
+    ``moved``/``prev_scoring`` (gso_step's rescoring gate) are accepted
+    and ignored — dense recomputation is bit-identical for unmoved poses.
 
     Runs inside shard_map: ``p_local`` receptor arrays hold this device's
     shard.  Collectives: psum on the raw pair sum and per-residue hit

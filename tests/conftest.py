@@ -8,19 +8,38 @@ not available in CI; the sharding code paths are identical.
 import os
 import pathlib
 
-# The environment may pin JAX_PLATFORMS to a TPU tunnel; tests always run
-# on the host CPU platform with 8 virtual devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# LIGHTDOCK_TPU_TESTS=1 switches the session to real-hardware mode: the
+# tpu-marked tests run against the actual backend (compiled Mosaic kernels,
+# f32) and everything else is skipped.  Run as:
+#     LIGHTDOCK_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu.py
+TPU_MODE = os.environ.get("LIGHTDOCK_TPU_TESTS") == "1"
+
+if not TPU_MODE:
+    # The environment may pin JAX_PLATFORMS to a TPU tunnel; tests always
+    # run on the host CPU platform with 8 virtual devices.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        is_tpu = "tpu" in item.keywords
+        if TPU_MODE and not is_tpu:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU/x64 test skipped in LIGHTDOCK_TPU_TESTS mode"))
+        elif not TPU_MODE and is_tpu:
+            item.add_marker(pytest.mark.skip(
+                reason="needs real TPU (LIGHTDOCK_TPU_TESTS=1 -m tpu)"))
 
 REFERENCE = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE", "/root/reference"))
 
