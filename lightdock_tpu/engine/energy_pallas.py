@@ -289,6 +289,10 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 need_iface=need_iface)
 
         score = finalize_raw(p, raw)
+        if ifr is None:
+            # need_iface=False: no restraints, no membrane — the bias is
+            # the identity and the kernel returned dummy flags.
+            return score
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)
 
     return energy_fn

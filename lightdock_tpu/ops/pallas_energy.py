@@ -683,6 +683,10 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     kernel = functools.partial(
         _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
         l_tile, n_l, need_iface, rec_per_pose, n_k)
+    # Without interface work the (Nr, G)/(G, Nl) resident accumulators
+    # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
+    ifr_shape = (nr, gp) if need_iface else (8, LANE)
+    ifl_shape = (gp, nl) if need_iface else (8, LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_r, n_l),
@@ -699,9 +703,9 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
         out_specs=[
             pl.BlockSpec((gp, 1, 1), lambda r, l, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, gp), lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifr_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gp, nl), lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((n_k, r_tile, l_tile), dtype)],
@@ -711,12 +715,14 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((gp, 1, 1), dtype),
-            jax.ShapeDtypeStruct((nr, gp), dtype),
-            jax.ShapeDtypeStruct((gp, nl), dtype),
+            jax.ShapeDtypeStruct(ifr_shape, dtype),
+            jax.ShapeDtypeStruct(ifl_shape, dtype),
         ],
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
       rec_all, lig_all, rec_half, lig_onehot)
+    if not need_iface:
+        return raw[:g, 0, 0], None, None
     return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
 
 
@@ -807,6 +813,8 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
 
     kernel = functools.partial(_elec_vdw_kernel_v2, gp, r_tile, l_tile, n_l,
                                need_iface, rec_per_pose)
+    ifr_shape = (nr, gp) if need_iface else (8, LANE)
+    ifl_shape = (gp, nl) if need_iface else (8, LANE)
     col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
@@ -824,9 +832,9 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
         out_specs=[
             pl.BlockSpec((gp, 1, 1), lambda r, l, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, gp), lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifr_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gp, nl), lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -835,12 +843,14 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((gp, 1, 1), dtype),
-            jax.ShapeDtypeStruct((nr, gp), dtype),
-            jax.ShapeDtypeStruct((gp, nl), dtype),
+            jax.ShapeDtypeStruct(ifr_shape, dtype),
+            jax.ShapeDtypeStruct(ifl_shape, dtype),
         ],
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
       rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
+    if not need_iface:
+        return raw[:g, 0, 0], None, None
     return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
 
 

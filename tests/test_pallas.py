@@ -260,6 +260,57 @@ def test_pallas_v2_odd_pose_count():
                                    rtol=5e-5, atol=5e-5)
 
 
+def test_pallas_v2_no_bias_system():
+    """need_iface=False on the v2 kernel: interface outputs shrink to
+    dummies (VMEM) and the bias is skipped; scores must match XLA."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    rng = np.random.RandomState(5)
+
+    def model(n):
+        return DockingModel(
+            method="dfire", coordinates=rng.uniform(-30, 30, size=(n, 3)),
+            num_anm=0, nmodes=np.zeros((0, n, 3)),
+            membrane=np.zeros(0, dtype=np.int64),
+            active_restraints={}, passive_restraints={},
+            atom_types=rng.randint(0, 168, size=n).astype(np.int32))
+
+    params = build_batch_params(model(300), model(170), use_anm=False,
+                                dtype=np.float32,
+                                potential=synthetic_potential(),
+                                dfire_mode="steps")
+    params = ensure_dfire_types(params)
+    g = 9
+    t = jnp.asarray(rng.uniform(-20, 20, (g, 3)), jnp.float32)
+    q = rng.standard_normal((g, 4)); q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q, jnp.float32)
+    a = jnp.zeros((g, 0), jnp.float32)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, t, q, a, a, xp=jnp)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, t, q, a, a)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_pallas_v2_moved_skip():
+    """With the moved/prev_scoring gate, unmoved poses return their stored
+    score exactly and moved poses match the ungated computation."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    fn = make_pallas_energy_fn(params, interpret=True, cull=True, kernel="v2")
+    full = np.asarray(fn(dp, *pose))
+    g = full.shape[0]
+    rng = np.random.RandomState(11)
+    moved = jnp.asarray(rng.rand(g) < 0.6)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated = np.asarray(fn(dp, *pose, moved=moved, prev_scoring=prev))
+    m = np.asarray(moved)
+    np.testing.assert_array_equal(gated[~m], np.asarray(prev)[~m])
+    np.testing.assert_array_equal(gated[m], full[m])
+
+
 def test_pallas_no_bias_system():
     """A system with no restraints and no membrane skips interface work
     (need_iface static flag) and must still match the XLA path."""
