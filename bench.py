@@ -87,7 +87,9 @@ def main() -> int:
 
     runner = GsoJaxRunner(params, positions, seed=324324, use_anm=False,
                           anm_rec=0, anm_lig=0, dtype=jnp.float32,
-                          energy_chunk=0)
+                          energy_chunk=0,
+                          energy_mode=os.environ.get("LIGHTDOCK_BENCH_MODE",
+                                                     "auto"))
 
     # Warm-up/compile.  One scan over all steps: a single device dispatch,
     # so tunnel round-trip latency is paid once (np.asarray forces the
@@ -146,7 +148,8 @@ def aggregate_multiswarm(params, positions, g, n_swarms: int = 8,
     runner = SwarmFarmRunner(params, [positions] * s, list(range(s)),
                              seed=324324, use_anm=False, anm_rec=0, anm_lig=0,
                              dtype=jnp.float32, output_root=None,
-                             energy_mode="xla")
+                             energy_mode=os.environ.get(
+                                 "LIGHTDOCK_BENCH_MODE", "auto"))
     states0 = runner.states
     runner.run_segmented(steps, segment=steps)  # compile + warm-up
     np.asarray(runner.states.scoring)

@@ -90,18 +90,29 @@ def validate_tiles(r_tile: int, l_tile: int) -> None:
             f"l_tile must be a positive multiple of 128, got {l_tile!r}")
 
 
-def pick_tiles(params: BatchScoringParams):
+def pick_tiles(params: BatchScoringParams, kernel: str = "v2"):
     """Measured-best kernel tile shape for a complex.
 
-    Receptor tiles of 32 atoms (narrow sublane tiles; 16 loses to per-body
-    overhead, 64 blows the VMEM coordinate-block budget).  Ligand tiles as
-    wide as fits: 384 lanes is the best measured on v5e at 1k4c scale
-    (512 exceeds the 16 MB scoped-VMEM limit with the 21-channel dq
-    block); smaller ligands take the next 128-multiple to avoid padding
-    waste.
+    v1 (per-pose kernel): receptor tiles of 32 atoms (16 loses to per-body
+    overhead, 64 blows the VMEM coordinate-block budget), ligand tiles
+    capped at 384 lanes (512 exceeds the scoped-VMEM limit with the
+    21-channel dq block).
+
+    v2 (pose-chunked kernel): ligand tile chosen from {128..512} to
+    minimize padded lanes first (1azp's 506 atoms pad 52% at l=384 but
+    1.2% at 512), larger on ties (fewer grid steps / block refetches);
+    receptor tiles widen to 64 when the receptor is pose-dependent
+    (receptor ANM: halves the (G, r_tile, 3) block refetch count —
+    measured 56.8k -> 71.7k poses/s on 1azp).
     """
     nl = params.lig_coords.shape[0]
-    return 32, min(384, -(-nl // 128) * 128)
+    if kernel == "v1":
+        return 32, min(384, -(-nl // 128) * 128)
+    candidates = [128, 256, 384, 512]
+    l_tile = min(candidates,
+                 key=lambda l: (-(-nl // l) * l, -l))
+    rec_per_pose = params.use_anm and params.rec_nmodes.shape[0] > 0
+    return (64 if rec_per_pose else 32), l_tile
 
 
 def resolve_kernel(params: BatchScoringParams, kernel: str = "auto") -> str:

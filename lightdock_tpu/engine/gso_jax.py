@@ -278,19 +278,21 @@ def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
 # -- host-facing runner -----------------------------------------------------
 
 
-# Measured crossover on one v5e chip (scripts/bench_1k4c.py + 1ppe runs):
-# the XLA DFIRE path is dq-bandwidth-bound and degrades with Nr*Nl (1k4c:
-# 1.0k poses/s) while the culled Pallas kernel holds up (2.8k); below a few
-# million pairs the kernel's per-tile-pose loop overhead loses to XLA's
-# fused elementwise path (1ppe 357k pairs: 66k vs 30k poses/s).
-PALLAS_AUTO_MIN_PAIRS = 4_000_000
+# Measured on one v5e chip (scripts/bench_1ppe_modes.py, round 2, the
+# pose-chunked v2 kernels): Pallas beats the fused XLA path at every
+# measured shape and method — 1ppe DFIRE 357k pairs: 127.9k vs 78.2k
+# poses/s; 1azp DNA 554k pairs (ANM): 114.1k vs 84.3k; 1k4c DFIRE 11.15M
+# pairs: Pallas-only territory (the XLA dq tensor is 0.94 GB).  Below
+# ~100k pairs the per-grid-step fixed costs are unmeasured; XLA stays the
+# conservative default there (1czy-sized peptides).
+PALLAS_AUTO_MIN_PAIRS = 100_000
 
 
 def pick_energy_mode(params: BatchScoringParams) -> str:
-    """Resolve energy_mode='auto': Pallas for large DFIRE complexes on TPU,
-    the fused XLA path otherwise."""
+    """Resolve energy_mode='auto': the Pallas v2 kernels on TPU for any
+    method above the (tiny-complex) pair threshold, XLA otherwise."""
     n_pairs = params.rec_coords.shape[0] * params.lig_coords.shape[0]
-    if (params.method == "dfire" and n_pairs >= PALLAS_AUTO_MIN_PAIRS
+    if (n_pairs >= PALLAS_AUTO_MIN_PAIRS
             and jax.default_backend() == "tpu"):
         return "pallas"
     return "xla"
@@ -323,9 +325,10 @@ class GsoJaxRunner:
                 params = dataclasses.replace(params, dfire_dq=None)
             # Spatially sort the atom axes so the conservative tile cull
             # bites (semantics unchanged; energy_pallas.spatial_sort_params).
-            from .energy_pallas import (pick_tiles, spatial_sort_params,
-                                        validate_tiles)
-            auto_r, auto_l = pick_tiles(params)
+            from .energy_pallas import (pick_tiles, resolve_kernel,
+                                        spatial_sort_params, validate_tiles)
+            auto_r, auto_l = pick_tiles(
+                params, resolve_kernel(params, self._pallas_kernel))
             r_tile = auto_r if r_tile is None else r_tile
             l_tile = auto_l if l_tile is None else l_tile
             validate_tiles(r_tile, l_tile)

@@ -564,20 +564,37 @@ def _v2_store_pose_sums(raw_ref, cm, c0, p_block):
 
 def _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2, r, l, c0,
               p_block, g_count, n_l_tiles, r_tile, l_tile):
-    """Per-pose interface accumulation under the tight per-pose cull bit
-    (reuses the v1 masked-onehot RMW scheme; pose slices of d2 are free
-    outer-dim indexing)."""
-    gwords = -(-g_count // 32)
-    for p in range(p_block):
-        g = c0 + p
+    """Chunk-level interface accumulation.
 
-        @pl.when(_active(iface_act_ref, n_l_tiles, gwords, r, l, g))
-        def _(p=p, g=g):
-            close = (d2[p] <= iface2).astype(d2.dtype)
-            onehot = _pose_onehot(g, g_count, d2.dtype)
-            onehot_row = _pose_onehot_row(g, g_count, d2.dtype)
-            _accumulate_iface(ifr_ref, ifl_ref, close, r, l, g,
-                              onehot, onehot_row, r_tile, l_tile)
+    The per-pose bits are conservative (bit 0 proves the pose has no pair
+    within the interface cutoff in this tile, i.e. its flags rows are all
+    zero), so accumulating the whole chunk when ANY pose's bit is set is
+    exact and replaces P masked-onehot RMWs with one aligned (P, 1, L)
+    read-max-write for the ligand side (ifl is stored (G, 1, Nl): the
+    pose offset lands on the outer dim, the l-offset is 128-aligned).
+    The receptor side keeps the cheap (r_tile, G) masked-onehot RMW per
+    pose (its tile is ~10x smaller than the ligand's)."""
+    gwords = -(-g_count // 32)
+    any_bit = None
+    for p in range(p_block):
+        b = _active(iface_act_ref, n_l_tiles, gwords, r, l, c0 + p)
+        any_bit = b if any_bit is None else (any_bit | b)
+
+    @pl.when(any_bit)
+    def _():
+        close = (d2 <= iface2).astype(d2.dtype)            # (P, R, L)
+        row = close.max(axis=1, keepdims=True)             # (P, 1, L)
+        l_off = pl.multiple_of(l * l_tile, l_tile)
+        cur = ifl_ref[pl.ds(c0, p_block), :, pl.ds(l_off, l_tile)]
+        ifl_ref[pl.ds(c0, p_block), :, pl.ds(l_off, l_tile)] = (
+            jnp.maximum(cur, row))
+        col = close.max(axis=2, keepdims=True)             # (P, R, 1)
+        r_off = pl.multiple_of(r * r_tile, r_tile)
+        for p in range(p_block):
+            onehot_row = _pose_onehot_row(c0 + p, g_count, d2.dtype)
+            cur_r = ifr_ref[pl.ds(r_off, r_tile), :]
+            ifr_ref[pl.ds(r_off, r_tile), :] = jnp.maximum(
+                cur_r, col[p] * onehot_row)
 
 
 def _v2_tile_any(act_ref, n_l_tiles, cwords, r, l):
@@ -686,7 +703,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
-    ifl_shape = (gp, nl) if need_iface else (8, LANE)
+    ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_r, n_l),
@@ -705,7 +722,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(ifr_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((n_k, r_tile, l_tile), dtype)],
@@ -723,7 +740,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
       rec_all, lig_all, rec_half, lig_onehot)
     if not need_iface:
         return raw[:g, 0, 0], None, None
-    return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
+    return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]
 
 
 def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
@@ -814,7 +831,7 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
     kernel = functools.partial(_elec_vdw_kernel_v2, gp, r_tile, l_tile, n_l,
                                need_iface, rec_per_pose)
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
-    ifl_shape = (gp, nl) if need_iface else (8, LANE)
+    ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
     col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
@@ -834,7 +851,7 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(ifr_shape, lambda r, l, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0),
+            pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -851,7 +868,7 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
       rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
     if not need_iface:
         return raw[:g, 0, 0], None, None
-    return raw[:g, 0, 0], ifr.T[:g], ifl[:g]
+    return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]
 
 
 # --------------------------------------------------------------------------

@@ -120,7 +120,7 @@ class SwarmFarmRunner:
 
             from ..engine.energy_batch import ensure_dfire_types
             from ..engine.energy_pallas import (make_pallas_energy_fn,
-                                                pick_tiles,
+                                                pick_tiles, resolve_kernel,
                                                 spatial_sort_params,
                                                 validate_tiles)
             kernel = "v1" if energy_mode == "pallas_v1" else "auto"
@@ -128,7 +128,7 @@ class SwarmFarmRunner:
                 # v2 kernel: type-indexed tables; drop the O(Nr*Nl*K) dq.
                 params = ensure_dfire_types(params)
                 params = _dc.replace(params, dfire_dq=None)
-            auto_r, auto_l = pick_tiles(params)
+            auto_r, auto_l = pick_tiles(params, resolve_kernel(params, kernel))
             r_tile = auto_r if r_tile is None else r_tile
             l_tile = auto_l if l_tile is None else l_tile
             validate_tiles(r_tile, l_tile)
