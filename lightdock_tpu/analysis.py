@@ -170,6 +170,72 @@ def cluster_swarm_dir(swarm_dir, ligand_pdb, step: int,
     return clusters
 
 
+# -- per-pose quality metrics (RMSD vs a reference, clash count) -------------
+
+
+def ligand_rmsd(coords: np.ndarray, ref_coords: np.ndarray) -> np.ndarray:
+    """(G,) ligand RMSD of each transformed pose vs reference coordinates.
+
+    Docking ligand-RMSD convention (no superposition: the receptor frame is
+    shared), matching the RMSD column lgd_rank fills when a reference
+    structure is supplied (reference example/1czy/analysis.sh:27-32 runs
+    lgd_rank without one, leaving -1.000)."""
+    d = coords - ref_coords[None]
+    return np.sqrt((d * d).sum(axis=-1).mean(axis=-1))
+
+
+def count_clashes(rec_coords: np.ndarray, lig_coords: np.ndarray,
+                  cutoff: float = 1.9) -> np.ndarray:
+    """(G,) steric clash counts: receptor-ligand atom pairs closer than
+    ``cutoff`` (default 1.9 A, a covalent-overlap heavy-atom threshold).
+
+    Chunked over receptor atoms to bound the (chunk, Nl) working set."""
+    g = lig_coords.shape[0]
+    out = np.zeros(g, dtype=np.int64)
+    c2 = cutoff * cutoff
+    chunk = max(1, int(2e7) // max(1, lig_coords.shape[1] * g))
+    for i in range(0, rec_coords.shape[0], chunk):
+        r = rec_coords[i:i + chunk]                        # (c, 3)
+        d = lig_coords[:, None, :, :] - r[None, :, None, :]  # (G, c, Nl, 3)
+        out += ((d * d).sum(axis=-1) < c2).sum(axis=(1, 2))
+    return out
+
+
+def make_pose_metrics(receptor_pdb, ligand_pdb, nmodes: Optional[np.ndarray],
+                      use_anm: bool, anm_rec: int, anm_lig: int,
+                      reference_pdb=None, clash_cutoff: float = 1.9):
+    """Build a ``poses -> (rmsd, clashes)`` callable for rank_swarms.
+
+    ``reference_pdb`` is a ligand structure in the receptor frame with the
+    same parsed atoms as ``ligand_pdb`` (e.g. the crystallographic ligand);
+    without it the RMSD column stays -1.000 like the reference pipeline's
+    default run."""
+    from .utils.pdb import parse_pdb
+
+    lig = parse_pdb(ligand_pdb)
+    rec = parse_pdb(receptor_pdb)
+    modes = (nmodes if nmodes is not None
+             else np.zeros((0, lig.num_atoms, 3)))
+    ref_coords = None
+    if reference_pdb is not None:
+        ref = parse_pdb(reference_pdb)
+        if ref.num_atoms != lig.num_atoms:
+            raise ValueError(
+                f"reference ligand has {ref.num_atoms} atoms, docked ligand "
+                f"has {lig.num_atoms}: atom sets must match for RMSD")
+        ref_coords = ref.coordinates
+
+    def metrics(poses: np.ndarray):
+        coords = transform_ligand_batch(lig.coordinates, modes, poses,
+                                        use_anm, anm_rec, anm_lig)
+        rmsd = (ligand_rmsd(coords, ref_coords) if ref_coords is not None
+                else np.full(coords.shape[0], -1.0))
+        clashes = count_clashes(rec.coordinates, coords, clash_cutoff)
+        return rmsd, clashes
+
+    return metrics
+
+
 # -- ranking ----------------------------------------------------------------
 
 
@@ -182,6 +248,8 @@ class RankedPose:
     num_neighbors: int
     vision: float
     scoring: float
+    rmsd: float = -1.0
+    clashes: int = 0
 
 
 def collect_swarm_results(root, step: int,
@@ -216,10 +284,20 @@ def collect_swarm_results(root, step: int,
 
 
 def rank_swarms(root, step: int, out_name: str = "rank_by_scoring.list",
-                only_cluster_representatives: bool = True) -> List[RankedPose]:
+                only_cluster_representatives: bool = True,
+                pose_metrics=None) -> List[RankedPose]:
     """Merge + sort all swarm results by scoring; write the rank file
-    (layout modeled on reference example/1czy/rank_by_scoring.list)."""
+    (layout modeled on reference example/1czy/rank_by_scoring.list).
+
+    ``pose_metrics`` (see make_pose_metrics) fills the RMSD and Clashes
+    columns with real values; without it they stay -1.000 / 0, exactly
+    like the reference pipeline run without a reference structure."""
     results = collect_swarm_results(root, step, only_cluster_representatives)
+    if pose_metrics is not None and results:
+        poses = np.stack([r.pose for r in results])
+        rmsd, clashes = pose_metrics(poses)
+        for r, rm, cl in zip(results, rmsd, clashes):
+            r.rmsd, r.clashes = float(rm), int(cl)
     results.sort(key=lambda r: -r.scoring)
     path = pathlib.Path(root) / out_name
     with open(path, "w") as fh:
@@ -231,8 +309,9 @@ def rank_swarms(root, step: int, out_name: str = "rank_by_scoring.list",
             pose_s = ", ".join(f"{v:.3f}" for v in r.pose)
             fh.write(f"{r.swarm:5d} {r.glowworm:6d} ({pose_s})      0      0"
                      f"    {r.luciferin:.5f}     {r.num_neighbors}   "
-                     f"{r.vision:.3f}   -1.000 "
-                     f"lightdock_{r.glowworm}.pdb      0   {r.scoring:.3f}\n")
+                     f"{r.vision:.3f}   {r.rmsd:.3f} "
+                     f"lightdock_{r.glowworm}.pdb      {r.clashes}   "
+                     f"{r.scoring:.3f}\n")
     return results
 
 

@@ -28,6 +28,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-n", "--top-n", type=int, default=10)
     ap.add_argument("--rmsd-cutoff", type=float, default=4.0)
     ap.add_argument("--anm-dir", default=None)
+    ap.add_argument("--reference-pdb", default=None,
+                    help="reference ligand PDB (receptor frame, same atoms "
+                         "as the docked ligand): fills the RMSD column")
+    ap.add_argument("--clash-cutoff", type=float, default=1.9,
+                    help="receptor-ligand distance (A) counted as a clash")
+    ap.add_argument("--no-metrics", action="store_true",
+                    help="skip RMSD/clash computation (fast rank)")
     return ap
 
 
@@ -61,12 +68,25 @@ def main(argv=None) -> int:
 
     root = pathlib.Path(args.root)
 
-    if args.command == "rank":
+    if args.command == "rank" and (args.no_metrics or not args.setup):
+        # Fast path without structures: RMSD/Clashes stay -1.000 / 0, like
+        # the reference pipeline run without a reference structure.
         ranked = analysis.rank_swarms(root, args.step)
         print(f"Ranked {len(ranked)} poses -> {root / 'rank_by_scoring.list'}")
         return 0
 
     setup, rec_pdb, lig_pdb, nmodes = _load_context(args)
+    metrics = None
+    if not args.no_metrics:
+        metrics = analysis.make_pose_metrics(
+            rec_pdb, lig_pdb, nmodes, setup.use_anm, setup.anm_rec,
+            setup.anm_lig, reference_pdb=args.reference_pdb,
+            clash_cutoff=args.clash_cutoff)
+
+    if args.command == "rank":
+        ranked = analysis.rank_swarms(root, args.step, pose_metrics=metrics)
+        print(f"Ranked {len(ranked)} poses -> {root / 'rank_by_scoring.list'}")
+        return 0
 
     if args.command in ("cluster", "all"):
         n_clusters = 0
@@ -78,7 +98,7 @@ def main(argv=None) -> int:
         print(f"Clustered swarms under {root} ({n_clusters} clusters)")
 
     if args.command in ("top", "all"):
-        ranked = analysis.rank_swarms(root, args.step)
+        ranked = analysis.rank_swarms(root, args.step, pose_metrics=metrics)
         paths = analysis.write_top(rec_pdb, lig_pdb, ranked, root / "top",
                                    nmodes, setup.use_anm, setup.anm_rec,
                                    setup.anm_lig, top_n=args.top_n)

@@ -172,22 +172,52 @@ class SwarmFarmRunner:
     # -- checkpoint/resume ---------------------------------------------------
 
     def resume_latest(self) -> int:
-        """Resume from the newest snapshot step present in EVERY swarm dir
-        (full-precision sidecars).  Returns the resumed step (0 if none)."""
+        """Resume the farm from snapshots (full-precision sidecars).
+
+        The scan advances all swarms in lockstep, so the resume step is the
+        *minimum over swarms of each swarm's newest sidecar step*: swarms
+        that were further ahead are re-run from that step, which reproduces
+        their trajectories bit-identically (the engine is deterministic and
+        the RNG stream is positional), overwriting equal snapshots.  Swarms
+        with missing or unreadable sidecars are reported loudly; if any
+        swarm has none at all the farm restarts from step 0 with a WARNING
+        (never silently).  Returns the resumed step (0 if none).
+        """
+        import logging
+
         from ..utils.output import read_state_sidecar
 
+        log = logging.getLogger(__name__)
         root = pathlib.Path(self.output_root)
-        common: Optional[set] = None
+        newest = {}
         for sid in self.swarm_ids:
             steps = set()
             for p in (root / f"swarm_{sid}").glob("gso_*.out.npz"):
                 m = re.match(r"gso_(\d+)\.out\.npz", p.name)
                 if m:
                     steps.add(int(m.group(1)))
-            common = steps if common is None else (common & steps)
-        if not common:
+            newest[sid] = max(steps) if steps else 0
+        if not any(newest.values()):
+            if any((root / f"swarm_{sid}").exists() for sid in self.swarm_ids):
+                log.warning(
+                    "resume requested but no state sidecars found under %s: "
+                    "restarting all %d swarms from step 0", root,
+                    self.n_swarms)
             return 0
-        step = max(common)
+        step = min(newest.values())
+        behind = [sid for sid, n in newest.items() if n > step]
+        if step == 0:
+            log.warning(
+                "resume: swarm(s) %s have no sidecars; restarting ALL "
+                "swarms from step 0 (others had snapshots up to step %d)",
+                [sid for sid, n in newest.items() if n == 0],
+                max(newest.values()))
+            return 0
+        if behind:
+            log.warning(
+                "resume: lockstep farm resumes at step %d (the minimum of "
+                "the newest per-swarm snapshots); swarm(s) %s were ahead "
+                "and will be re-run deterministically", step, behind)
         per_swarm = []
         for sid in self.swarm_ids:
             _, arrays = read_state_sidecar(

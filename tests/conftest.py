@@ -49,3 +49,8 @@ def reference_dir() -> pathlib.Path:
     if not REFERENCE.exists():
         pytest.skip("reference data not available")
     return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def goldens_dir() -> pathlib.Path:
+    return pathlib.Path(__file__).parent / "goldens"

@@ -35,6 +35,57 @@ def test_rank_merges_and_sorts(tmp_path):
     assert len(text.splitlines()) == 6
 
 
+def test_rank_metrics_rmsd_and_clashes(tmp_path, reference_dir):
+    """With pose metrics wired in, the rank file carries real RMSD and
+    clash values (the reference pipeline's lgd_rank columns, reference
+    example/1czy/analysis.sh:27-32)."""
+    lig_pdb = reference_dir / "tests/2oob/2oob_ligand.pdb"
+    rec_pdb = reference_dir / "tests/2oob/2oob_receptor.pdb"
+    lig = parse_pdb(lig_pdb)
+
+    # Identity pose (zero translation, unit quaternion) + one shifted pose.
+    poses = np.zeros((2, 7))
+    poses[:, 3] = 1.0
+    poses[1, :3] = (3.0, 0.0, 0.0)
+    outdir = tmp_path / "swarm_0"
+    outdir.mkdir()
+    write_gso_output(outdir / "gso_10.out", poses, np.zeros(2),
+                     np.zeros(2, dtype=int), np.full(2, 0.2),
+                     np.array([5.0, 1.0]))
+
+    # Reference ligand = the ligand itself => identity pose has RMSD 0 and
+    # the shifted pose exactly 3 A (rigid x-shift).
+    metrics = analysis.make_pose_metrics(rec_pdb, lig_pdb, None, False, 0, 0,
+                                         reference_pdb=lig_pdb)
+    ranked = analysis.rank_swarms(tmp_path, 10, pose_metrics=metrics,
+                                  only_cluster_representatives=False)
+    by_g = {r.glowworm: r for r in ranked}
+    assert by_g[0].rmsd == pytest.approx(0.0, abs=1e-12)
+    assert by_g[1].rmsd == pytest.approx(3.0, abs=1e-9)
+    # 2oob ligand placed at its crystallographic pose clashes with the
+    # receptor interface (bound complex => contacts < 1.9 A are rare but
+    # the count must be a nonnegative integer; exactness checked against
+    # the brute-force pair count).
+    rec = parse_pdb(rec_pdb)
+    d = np.linalg.norm(rec.coordinates[:, None, :]
+                       - lig.coordinates[None, :, :], axis=-1)
+    assert by_g[0].clashes == int((d < 1.9).sum())
+    text = (tmp_path / "rank_by_scoring.list").read_text()
+    line0 = [ln for ln in text.splitlines()[1:] if " 0 (" in ln or
+             ln.split()[1] == "0"][0]
+    assert " 0.000 " in line0  # real RMSD rendered, not -1.000
+
+
+def test_count_clashes_chunking_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    rec = rng.uniform(-10, 10, (137, 3))
+    lig = rng.uniform(-10, 10, (4, 29, 3))
+    d = np.linalg.norm(rec[None, :, None, :] - lig[:, None, :, :], axis=-1)
+    expected = (d < 5.0).sum(axis=(1, 2))
+    got = analysis.count_clashes(rec, lig, cutoff=5.0)
+    assert np.array_equal(got, expected)
+
+
 def test_cluster_bsas_groups_similar_poses():
     rng = np.random.RandomState(1)
     base = rng.uniform(-5, 5, (30, 3))

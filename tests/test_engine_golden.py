@@ -63,6 +63,64 @@ def test_1ppe_golden_trajectory_dfire(reference_dir, tmp_path):
         assert (tmp_path / f"gso_{step}.out").read_text() == golden
 
 
+SELF_GOLDENS = [
+    # (example, golden dir, scoring) — DFIRE trajectories pinned against the
+    # deterministic synthetic table (scoring/potentials.synthetic_potential):
+    # the environment lacks data/DCparams, so these committed self-goldens
+    # (scripts/make_self_goldens.py, f64 host engine) are the fixed external
+    # truth for DFIRE end-to-end, mirroring the reference's shipped 1ppe
+    # goldens (reference example/1ppe/swarm_0/gso_1.out).
+    ("1ppe", "1ppe_synth"),   # DFIRE, no ANM
+    ("2uuy", "2uuy_synth"),   # DFIRE, ANM 10+10
+]
+
+
+@pytest.mark.parametrize("example,golden", SELF_GOLDENS)
+def test_dfire_self_golden_jax_engine(reference_dir, tmp_path, example,
+                                      golden, goldens_dir):
+    """The batched device engine (float64, CPU) must render the committed
+    synthetic-table DFIRE goldens byte-identically."""
+    import jax.numpy as jnp
+
+    from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+
+    ex = reference_dir / f"example/{example}"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dfire", anm_dir=ex)
+    runner = GsoJaxRunner(sim.batch_params(), sim.positions, sim.seed,
+                          sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
+                          output_directory=str(tmp_path), dtype=jnp.float64,
+                          energy_chunk=25)
+    runner.run_segmented(10, 10)
+    for step in (1, 10):
+        want = (goldens_dir / golden / f"gso_{step}.out").read_text()
+        assert (tmp_path / f"gso_{step}.out").read_text() == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("example,golden", SELF_GOLDENS)
+def test_dfire_self_golden_host_engine(reference_dir, example, golden,
+                                       goldens_dir):
+    """The sequential host parity engine reproduces the same goldens (it
+    generated them; this guards against regressions in either engine)."""
+    ex = reference_dir / f"example/{example}"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dfire", anm_dir=ex)
+    engine = GsoHostEngine(sim.batch_params(), sim.positions, sim.seed,
+                           sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig)
+    rendered = {}
+
+    def snap(e, step):
+        if step in (1, 10):
+            rendered[step] = format_gso_output(
+                e.poses(), e.luciferin, e.num_neighbors, e.vision, e.scoring)
+
+    engine.run(10, on_step=snap)
+    for step in (1, 10):
+        want = (goldens_dir / golden / f"gso_{step}.out").read_text()
+        assert rendered[step] == want
+
+
 @pytest.mark.slow
 def test_1azp_golden_trajectory(reference_dir):
     ex = reference_dir / "example/1azp"

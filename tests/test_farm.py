@@ -123,6 +123,48 @@ def test_farm_resume_bit_exact(tmp_path):
         assert a == b
 
 
+def test_farm_resume_survives_missing_sidecar(tmp_path, caplog):
+    """A deleted/corrupted sidecar in one swarm no longer silently restarts
+    the farm: it resumes from that swarm's newest remaining step (the
+    lockstep minimum), warns about the swarms that were ahead, and the
+    final snapshots still match the uninterrupted run bit-for-bit."""
+    import logging
+
+    params, positions_list = _system(n_swarms=2)
+    kw = dict(seed=324324, use_anm=True, anm_rec=NUM_ANM, anm_lig=NUM_ANM,
+              dtype=jnp.float64, energy_mode="xla")
+
+    full = SwarmFarmRunner(params, positions_list, [0, 1],
+                           output_root=str(tmp_path / "full"), **kw)
+    full.run_segmented(20, segment=10)
+
+    part = SwarmFarmRunner(params, positions_list, [0, 1],
+                           output_root=str(tmp_path / "part"), **kw)
+    part.run_segmented(20, segment=10)
+    # swarm 1 loses its newest sidecar: only step 10 remains there.
+    (tmp_path / "part" / "swarm_1" / "gso_20.out.npz").unlink()
+
+    cont = SwarmFarmRunner(params, positions_list, [0, 1],
+                           output_root=str(tmp_path / "part"), **kw)
+    with caplog.at_level(logging.WARNING, "lightdock_tpu.parallel.farm"):
+        assert cont.resume_latest() == 10
+    assert any("were ahead" in r.message for r in caplog.records)
+    cont.run_segmented(20, segment=10)
+    for i in (0, 1):
+        a = (tmp_path / "full" / f"swarm_{i}" / "gso_20.out").read_text()
+        b = (tmp_path / "part" / f"swarm_{i}" / "gso_20.out").read_text()
+        assert a == b
+
+    # A swarm with NO sidecars at all => restart from 0, loudly.
+    for p in (tmp_path / "part" / "swarm_0").glob("*.npz"):
+        p.unlink()
+    cold = SwarmFarmRunner(params, positions_list, [0, 1],
+                           output_root=str(tmp_path / "part"), **kw)
+    with caplog.at_level(logging.WARNING, "lightdock_tpu.parallel.farm"):
+        assert cold.resume_latest() == 0
+    assert any("restarting ALL" in r.message for r in caplog.records)
+
+
 def test_farm_pads_swarms_to_device_multiple(tmp_path):
     """5 swarms over 8 virtual devices: mesh uses 5 devices; 9 swarms pad
     to 16 shards without writing phantom swarm dirs."""
