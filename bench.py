@@ -132,7 +132,7 @@ def main() -> int:
     return 0
 
 
-def aggregate_multiswarm(params, positions, g, n_swarms: int = 8,
+def aggregate_multiswarm(params, positions, g, n_swarms: int = 32,
                          steps: int = 50):
     """Throughput with several swarms batched per chip (and, on multi-
     device systems, sharded over the swarm mesh axis): the scaling-

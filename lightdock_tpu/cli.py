@@ -51,6 +51,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="pair-energy backend: fused XLA, the Pallas kernels "
                          "with spatial tile culling, or auto (default: "
                          "Pallas for large DFIRE complexes on TPU)")
+    ap.add_argument("--dq-bf16", action="store_true",
+                    help="store the DFIRE delta-potential tensor in "
+                         "bfloat16: halves its HBM footprint/bandwidth "
+                         "(the XLA-path bottleneck on large complexes) at "
+                         "~1e-3 relative energy error")
+    ap.add_argument("--r-tile", type=int, default=None,
+                    help="Pallas receptor tile (multiple of 8; default: "
+                         "measured-best per complex)")
+    ap.add_argument("--l-tile", type=int, default=None,
+                    help="Pallas ligand tile (multiple of 128; default: "
+                         "measured-best per complex)")
     ap.add_argument("--jax-rng", action="store_true",
                     help="use the native device RNG instead of the bit-exact "
                          "reference (rand 0.7) stream")
@@ -176,7 +187,8 @@ def run_multi(args, positions_files, log) -> int:
                        dtype, output_root=output_root,
                        energy_chunk=chunk, energy_mode=args.energy_mode,
                        segment=max(1, args.steps_per_save),
-                       metrics=metrics, resume=bool(args.resume))
+                       metrics=metrics, resume=bool(args.resume),
+                       r_tile=args.r_tile, l_tile=args.l_tile)
 
     if args.profile:
         import pathlib as _pl
@@ -241,7 +253,9 @@ def run_jax(sim, args, outdir, log) -> None:
                           output_directory=str(outdir), dtype=dtype,
                           energy_chunk=chunk,
                           energy_mode=args.energy_mode,
-                          rng_mode="native" if args.jax_rng else "reference")
+                          rng_mode="native" if args.jax_rng else "reference",
+                          dq_bf16=args.dq_bf16,
+                          r_tile=args.r_tile, l_tile=args.l_tile)
     if args.resume:
         runner.load_snapshot(args.resume, args.resume_step)
     print(f"Starting optimization ({args.steps} steps)")

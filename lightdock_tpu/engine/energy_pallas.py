@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,80 @@ def spatial_sort_params(params: BatchScoringParams,
         dfire_rec_half=take(params.dfire_rec_half, 1, pr),
         dfire_lig_onehot=take(params.dfire_lig_onehot, 1, pl_),
     )
+
+
+V2_MAX_POSES_PER_CALL = 2048
+
+
+def pose_chunked_energy(energy_fn, max_chunk: int = V2_MAX_POSES_PER_CALL):
+    """Wrap an energy_fn to process huge pose batches in equal chunks.
+
+    The v2 kernels keep the whole (G, 3, l_tile) ligand block VMEM-resident
+    per grid column; above ~2k poses (multi-swarm farms: 32 swarms x 200
+    glowworms = 6400 flat poses) that block alone exceeds the VMEM budget.
+    Chunks are ceil-balanced so no pose padding is wasted (6400 -> 4 x
+    1600, not 4 x 2048); each chunk is one kernel launch under lax.map.
+    The moved/prev_scoring gate passes through per chunk (pose-local
+    semantics)."""
+
+    def wrapped(p, t, q, a_rec, a_lig, moved=None, prev_scoring=None):
+        n = t.shape[0]
+        if n <= max_chunk:
+            return energy_fn(p, t, q, a_rec, a_lig, moved=moved,
+                             prev_scoring=prev_scoring)
+        n_chunks = -(-n // max_chunk)
+        chunk = -(-(-(-n // n_chunks)) // 8) * 8   # ceil to a multiple of 8
+        pad = n_chunks * chunk - n
+
+        def padded(x, fill=0):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+        args = [padded(t), padded(q), padded(a_rec), padded(a_lig)]
+        gate = moved is not None and prev_scoring is not None
+        if gate:
+            # Padded poses are "unmoved": the kernels never touch them.
+            args += [padded(moved), padded(prev_scoring)]
+
+        def one(xs):
+            if gate:
+                tc, qc, arc, alc, mc, pc = xs
+                return energy_fn(p, tc, qc, arc, alc, moved=mc,
+                                 prev_scoring=pc)
+            tc, qc, arc, alc = xs
+            return energy_fn(p, tc, qc, arc, alc)
+
+        shaped = [x.reshape((n_chunks, chunk) + x.shape[1:]) for x in args]
+        return jax.lax.map(one, tuple(shaped)).reshape(-1)[:n]
+
+    return wrapped
+
+
+def _morton_key(t):
+    """(G,) int32 Morton (Z-curve) key of pose translations, 10 bits/dim.
+
+    Traced (device-side): quantization bounds come from the batch itself —
+    only the ORDER matters, never the values, so the dynamic bounds are
+    semantically free.  Used to sort poses so each kernel pose-chunk is
+    spatially coherent: chunk-granularity cull bits (the OR over a chunk's
+    poses) then approach single-pose tightness."""
+    tmin = t.min(axis=0)
+    span = t.max(axis=0) - tmin
+    cell = jnp.maximum(span / 1023.0, jnp.asarray(1e-9, t.dtype))
+    ii = jnp.clip(((t - tmin[None]) / cell[None]).astype(jnp.int32),
+                  0, 1023).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x30000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x30C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x9249249)
+        return v
+
+    key = spread(ii[:, 0]) | (spread(ii[:, 1]) << 1) | (spread(ii[:, 2]) << 2)
+    return key.astype(jnp.int32)  # 30 bits used: sign-safe as int32
 
 
 def validate_tiles(r_tile: int, l_tile: int) -> None:
@@ -216,18 +291,31 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
     def energy_fn(p: BatchScoringParams, t, q, a_rec, a_lig,
                   moved=None, prev_scoring=None):
-        """(G,) scores.  With ``moved``/``prev_scoring`` given, unmoved
-        poses are skipped (the reference's moved||step==0 rescoring gate,
-        src/glowworm.rs:61-72): poses are permuted moved-first so skipped
-        poses pack into whole pose chunks the kernels never touch, their
-        cull bits are zeroed, and their stored scores pass through."""
+        """(G,) scores.  Poses are permuted (moved-first, then Morton order
+        of the translation) before the kernel call and the scores inverse
+        -permuted after — semantically free, twice useful:
+
+        * moved-first packs poses skipped by the reference's moved||step==0
+          rescoring gate (src/glowworm.rs:61-72) into whole pose chunks the
+          kernels never touch (their cull bits are zeroed and their stored
+          scores pass through);
+        * Morton order makes each pose chunk spatially coherent, so the
+          chunk-granularity cull bits (OR over the chunk) and the in-kernel
+          exact-distance gates fire far more often.
+        """
+        morton = _morton_key(t)
         if moved is not None and prev_scoring is not None:
-            order = jnp.argsort(jnp.logical_not(moved))   # moved first
+            order = jnp.lexsort((morton,
+                                 jnp.logical_not(moved).astype(jnp.int32)))
             inv = jnp.argsort(order)
             perm = _compute(p, t[order], q[order], a_rec[order],
                             a_lig[order], moved[order])
             return jnp.where(moved, perm[inv], prev_scoring)
-        return _compute(p, t, q, a_rec, a_lig, None)
+        order = jnp.argsort(morton)
+        inv = jnp.argsort(order)
+        perm = _compute(p, t[order], q[order], a_rec[order], a_lig[order],
+                        None)
+        return perm[inv]
 
     def _compute(p: BatchScoringParams, t, q, a_rec, a_lig, moved):
         g = t.shape[0]

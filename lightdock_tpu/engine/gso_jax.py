@@ -309,8 +309,13 @@ class GsoJaxRunner:
                  energy_mode: str = "xla", cull: bool = True,
                  rng_mode: str = "reference", dq_bf16: bool = False,
                  r_tile: Optional[int] = None, l_tile: Optional[int] = None,
-                 interpret: bool = False):
+                 interpret: Optional[bool] = None):
         from ..utils.rng import uniform_f64_stream
+
+        if interpret is None:
+            # Mosaic only compiles on TPU; everywhere else (CPU tests, CLI
+            # --platform cpu) the kernels run in interpret mode.
+            interpret = jax.default_backend() != "tpu"
 
         if energy_mode == "auto":
             energy_mode = pick_energy_mode(params)
@@ -363,11 +368,13 @@ class GsoJaxRunner:
             raise ValueError(f"unknown rng_mode {rng_mode!r}")
         self._start_step = 0  # completed steps (for resume)
         if energy_mode in ("pallas", "pallas_v1"):
-            from .energy_pallas import make_pallas_energy_fn
-            energy_fn = make_pallas_energy_fn(params, cull=cull,
-                                              r_tile=r_tile, l_tile=l_tile,
-                                              interpret=interpret,
-                                              kernel=self._pallas_kernel)
+            from .energy_pallas import (make_pallas_energy_fn,
+                                        pose_chunked_energy)
+            energy_fn = pose_chunked_energy(
+                make_pallas_energy_fn(params, cull=cull,
+                                      r_tile=r_tile, l_tile=l_tile,
+                                      interpret=interpret,
+                                      kernel=self._pallas_kernel))
             self._run_jit = jax.jit(
                 lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
         elif energy_mode == "xla":

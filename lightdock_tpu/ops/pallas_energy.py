@@ -618,6 +618,10 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
     iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
+    # Channels whose threshold exceeds the cutoff can never fire (trimmed
+    # at table build; keep the guard for hand-built params).
+    live = [k for k, s in enumerate(thresholds)
+            if k == 0 or s <= C.DFIRE_DIST_CUTOFF2]
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -628,30 +632,53 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
     @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l))
     def _():
         # Reconstruct the tile's delta-potential block from the type
-        # factorization: exact one-hot selection per channel (HIGHEST).
+        # factorization: exact one-hot selection per channel (HIGHEST),
+        # then prefix-sum the channels in ascending order so dq_scr[k]
+        # holds the CUMULATIVE potential at bin k — the same f32 addition
+        # order the select-add chain used, so values are bit-identical.
         for k in range(n_k):
             dq_scr[k] = jax.lax.dot_general(
                 rh_ref[k], loh_ref[...], (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=dtype)
+        for i in range(1, len(live)):
+            dq_scr[live[i]] = dq_scr[live[i]] + dq_scr[live[i - 1]]
+
+        def select_tree(d2, lo, hi):
+            """Cumulative-potential value for the bin of d2 among live
+            channels [lo, hi): a balanced tournament of selects — 2 VPU
+            ops per channel instead of the 3 of a compare+add+select
+            chain, and no serial dependence between channels."""
+            if hi - lo == 1:
+                k = live[lo]
+                return jnp.broadcast_to(dq_scr[k:k + 1], d2.shape)
+            mid = (lo + hi) // 2
+            return jnp.where(d2 >= thresholds[live[mid]],
+                             select_tree(d2, mid, hi),
+                             select_tree(d2, lo, mid))
 
         def chunk_body(c, _):
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
                 d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
-                contrib = jnp.broadcast_to(dq_scr[0:1], d2.shape).astype(dtype)
-                for k, s in enumerate(thresholds):
-                    if k == 0 or not (s <= C.DFIRE_DIST_CUTOFF2):
-                        continue
-                    contrib = jnp.where(d2 >= s, contrib + dq_scr[k:k + 1],
-                                        contrib)
-                in_cut = (d2 <= C.DFIRE_DIST_CUTOFF2).astype(dtype)
-                _v2_store_pose_sums(raw_ref, contrib * in_cut, c0, p_block)
-                if need_iface:
-                    _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2,
-                              r, l, c0, p_block, g_count, n_l_tiles,
-                              r_tile, l_tile)
+                in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+
+                # Exact-distance gate: the box cull is conservative
+                # (~0.8 active at 1ppe scale where one ligand tile spans
+                # the whole molecule), but only ~0.7 of chunk-tiles have
+                # ANY pair inside the cutoff — skip the selection tree,
+                # accumulation and interface work for the rest.
+                @pl.when(jnp.any(in_cut))
+                def _():
+                    contrib = select_tree(d2, 0, len(live)).astype(dtype)
+                    _v2_store_pose_sums(raw_ref,
+                                        contrib * in_cut.astype(dtype),
+                                        c0, p_block)
+                    if need_iface:
+                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                  iface2, r, l, c0, p_block, g_count,
+                                  n_l_tiles, r_tile, l_tile)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
@@ -770,27 +797,36 @@ def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
         vr = vrr_ref[...] + vrl_ref[...]
         vr2 = (vr * vr)[None]
 
+        max_cut2 = max(C.ELEC_DIST_CUTOFF2, C.VDW_DIST_CUTOFF2)
+
         def chunk_body(c, _):
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
                 d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
-                # Unguarded like the reference (src/dna.rs:481-504): d2 == 0
-                # -> inf, clamped for elec / NaN through the vdw inf - inf.
-                inv_d2 = 1.0 / d2
-                elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF,
-                                C.ELEC_MAX_CUTOFF)
-                elec = elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(dtype)
-                p2 = vr2 * inv_d2
-                p6 = p2 * p2 * p2
-                k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
-                k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(dtype)
-                combined = elec * (C.FACTOR / C.EPSILON) + k
-                _v2_store_pose_sums(raw_ref, combined, c0, p_block)
-                if need_iface:
-                    _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
-                              C.INTERFACE_CUTOFF2, r, l, c0, p_block,
-                              g_count, n_l_tiles, r_tile, l_tile)
+
+                # Exact-distance gate (see _dfire_kernel_v2): skip the
+                # arithmetic + accumulation when no pair is inside either
+                # cutoff (the box cull is conservative).
+                @pl.when(jnp.any(d2 <= max_cut2))
+                def _():
+                    # Unguarded like the reference (src/dna.rs:481-504):
+                    # d2 == 0 -> inf, clamped for elec / NaN through the
+                    # vdw inf - inf.
+                    inv_d2 = 1.0 / d2
+                    elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF,
+                                    C.ELEC_MAX_CUTOFF)
+                    elec = elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(dtype)
+                    p2 = vr2 * inv_d2
+                    p6 = p2 * p2 * p2
+                    k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
+                    k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(dtype)
+                    combined = elec * (C.FACTOR / C.EPSILON) + k
+                    _v2_store_pose_sums(raw_ref, combined, c0, p_block)
+                    if need_iface:
+                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                  C.INTERFACE_CUTOFF2, r, l, c0, p_block,
+                                  g_count, n_l_tiles, r_tile, l_tile)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)

@@ -91,8 +91,13 @@ class SwarmFarmRunner:
                  energy_mode: str = "auto", energy_chunk: int = 0,
                  cull: bool = True, devices: Optional[Sequence] = None,
                  r_tile: Optional[int] = None, l_tile: Optional[int] = None,
-                 interpret: bool = False):
+                 interpret: Optional[bool] = None):
         from ..utils.rng import uniform_f64_stream
+
+        if interpret is None:
+            # Mosaic only compiles on TPU; everywhere else (CPU tests, CLI
+            # --platform cpu) the kernels run in interpret mode.
+            interpret = jax.default_backend() != "tpu"
 
         self.swarm_ids = list(swarm_ids)
         self.n_swarms = len(positions_list)
@@ -133,10 +138,11 @@ class SwarmFarmRunner:
             l_tile = auto_l if l_tile is None else l_tile
             validate_tiles(r_tile, l_tile)
             params = spatial_sort_params(params, r_tile=r_tile, l_tile=l_tile)
-            energy_fn = make_pallas_energy_fn(params, cull=cull,
-                                              r_tile=r_tile, l_tile=l_tile,
-                                              interpret=interpret,
-                                              kernel=kernel)
+            from ..engine.energy_pallas import pose_chunked_energy
+            energy_fn = pose_chunked_energy(
+                make_pallas_energy_fn(params, cull=cull,
+                                      r_tile=r_tile, l_tile=l_tile,
+                                      interpret=interpret, kernel=kernel))
         elif energy_mode == "xla":
             energy_fn = functools.partial(batch_energy_chunked,
                                           chunk=energy_chunk)
@@ -274,7 +280,9 @@ def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
                    energy_mode: str = "xla",
                    n_atom_shards: int = 1, segment: int = 10,
                    metrics=None, resume: bool = False,
-                   devices: Optional[Sequence] = None) -> None:
+                   devices: Optional[Sequence] = None,
+                   r_tile: Optional[int] = None,
+                   l_tile: Optional[int] = None) -> None:
     """Run S swarms to completion and write their outputs (CLI entry).
 
     ``n_atom_shards > 1`` additionally shards receptor atoms over the
@@ -303,7 +311,8 @@ def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
                              use_anm, anm_rec, anm_lig, dtype=dtype,
                              output_root=output_root,
                              energy_mode=energy_mode,
-                             energy_chunk=energy_chunk, devices=devices)
+                             energy_chunk=energy_chunk, devices=devices,
+                             r_tile=r_tile, l_tile=l_tile)
     if resume:
         resumed = runner.resume_latest()
         if resumed:

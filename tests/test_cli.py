@@ -53,6 +53,33 @@ def test_cli_multi_swarm_and_analysis(workdir, reference_dir):
     assert len(tops) == 3
 
 
+def test_cli_dq_bf16_and_tile_flags(workdir, reference_dir):
+    """--dq-bf16 runs the XLA path with a bfloat16 delta-potential tensor
+    (scores within ~1e-3 of the f32 run); --r-tile/--l-tile reach the
+    Pallas kernels (interpret-mode via the pallas engine on CPU is covered
+    elsewhere; here we assert the flags parse and run end-to-end)."""
+    ex = reference_dir / "example/1czy"
+    argv = [str(ex / "setup.json"), str(ex / "init/initial_positions_0.dat"),
+            "1", "dfire", "--platform", "cpu", "--dtype", "float32",
+            "--energy-mode", "xla"]
+    assert cli_main(argv) == 0
+    base = (workdir / "swarm_0/gso_1.out").read_text()
+    scores = np.array([float(ln.rsplit()[-1])
+                       for ln in base.splitlines()[1:]])
+
+    (workdir / "swarm_0/gso_1.out").unlink()
+    assert cli_main(argv + ["--dq-bf16"]) == 0
+    bf = (workdir / "swarm_0/gso_1.out").read_text()
+    scores_bf = np.array([float(ln.rsplit()[-1])
+                          for ln in bf.splitlines()[1:]])
+    assert not np.array_equal(scores, scores_bf)  # bf16 really engaged
+    np.testing.assert_allclose(scores_bf, scores, rtol=5e-3, atol=0.5)
+
+    # Tile overrides: validation errors must fail fast.
+    with pytest.raises(ValueError, match="r_tile"):
+        cli_main(argv + ["--energy-mode", "pallas", "--r-tile", "12"])
+
+
 def test_cli_bad_method(reference_dir, capsys):
     ex = reference_dir / "example/1czy"
     with pytest.raises(SystemExit):

@@ -122,6 +122,35 @@ def test_dfire_self_golden_host_engine(reference_dir, example, golden,
 
 
 @pytest.mark.slow
+def test_1azp_golden_horizon_step80(reference_dir):
+    """The sequential f64 host engine tracks the reference's shipped 1azp
+    goldens byte-identically through step 80 of 100 (the documented
+    divergence horizon, CLAUDE.md/COMPONENTS.md — beyond it, chaotic
+    sensitivity to last-ulp rounding takes over).  Guards regressions in
+    summation/selection order that would shorten the horizon.  (The
+    batched device engine's own horizon is step 40: cross-pose reduction
+    order differs from the reference's sequential loops sooner.)"""
+    ex = reference_dir / "example/1azp"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dna", anm_dir=ex)
+    engine = GsoHostEngine(sim.batch_params(), sim.positions, sim.seed,
+                           sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig)
+    checkpoints = (20, 30, 40, 50, 60, 70, 80)
+    rendered = {}
+
+    def snap(e, step):
+        if step in checkpoints:
+            rendered[step] = format_gso_output(
+                e.poses(), e.luciferin, e.num_neighbors, e.vision, e.scoring)
+
+    engine.run(80, on_step=snap)
+    for step in checkpoints:
+        golden = (ex / f"swarm_0/gso_{step}.out").read_text()
+        assert rendered[step] == golden, (
+            f"divergence horizon regressed: step {step} differs")
+
+
+@pytest.mark.slow
 def test_1azp_golden_trajectory(reference_dir):
     ex = reference_dir / "example/1azp"
     sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",

@@ -311,6 +311,36 @@ def test_pallas_v2_moved_skip():
     np.testing.assert_array_equal(gated[m], full[m])
 
 
+def test_pose_chunked_energy_matches_unchunked():
+    """pose_chunked_energy splits huge pose batches across kernel launches
+    with identical results (gated and ungated), incl. non-divisible counts
+    (37 poses at max_chunk=16 -> 3 balanced chunks with padding)."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    from lightdock_tpu.engine.energy_pallas import pose_chunked_energy
+    params, pose = _system("dfire", num_anm=2)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    fn = make_pallas_energy_fn(params, interpret=True, cull=True, kernel="v2")
+    chunked = pose_chunked_energy(fn, max_chunk=16)
+    full = np.asarray(fn(dp, *pose))
+    out = np.asarray(chunked(dp, *pose))
+    # Tolerance, not equality: XLA fuses the pose-transform differently at
+    # different batch shapes (verified: permuting or zero-padding poses at
+    # a FIXED shape changes nothing).  Within a run the chunking is fixed,
+    # so the moved-gate's recompute==stored invariant is unaffected.
+    np.testing.assert_allclose(out, full, rtol=3e-5)
+
+    g = full.shape[0]
+    rng = np.random.RandomState(11)
+    moved = jnp.asarray(rng.rand(g) < 0.6)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated_c = np.asarray(chunked(dp, *pose, moved=moved, prev_scoring=prev))
+    m = np.asarray(moved)
+    # Unmoved poses pass their stored score through bit-exactly.
+    np.testing.assert_array_equal(gated_c[~m], np.asarray(prev)[~m])
+    np.testing.assert_allclose(gated_c[m], full[m], rtol=3e-5)
+
+
 def test_pallas_no_bias_system():
     """A system with no restraints and no membrane skips interface work
     (need_iface static flag) and must still match the XLA path."""
