@@ -8,17 +8,22 @@ should be near-perfect.  This measures it with REAL multi-process
 execution (jax.distributed over two OS processes, the same machinery a
 2-host TPU pod slice uses), on virtual CPU devices:
 
-  1 process  x D devices, S =  2*D swarms   -> per-device throughput T1
-  2 processes x D devices, S = 4*D swarms   -> per-device throughput T2
+  1 process  x D devices, S = 2*D swarms            -> T1 per-device
+  2 INDEPENDENT processes x D devices (no
+     jax.distributed; each its own farm)            -> T2i per-device
+  2 DISTRIBUTED processes x D devices (one global
+     mesh via jax.distributed)                      -> T2d per-device
 
-efficiency = T2 / T1.  Writes HOSTSCALING_r03.json at the repo root.
+distributed_efficiency = T2d / T2i isolates the farm's multi-host
+overhead (jax.distributed coordination, global-mesh bookkeeping) from
+plain machine saturation: both T2d and T2i saturate this 2-core machine
+identically (each process pinned to its own core), so their ratio is the
+part that would survive on real multi-host TPU slices, where per-host
+resources are disjoint by construction.  raw_efficiency = T2d / T1 is
+also recorded (it under-reports on a shared 2-core box: the 1-process
+baseline leaves a core free to absorb OS noise).
 
-Each process is pinned to its own physical core (taskset) and the
-1-process baseline to one core, so every "host" has identical CPU
-resources — the measurement isolates the farm's distributed overhead
-(jax.distributed coordination, global-mesh bookkeeping) rather than CPU
-oversubscription of this 2-core machine.  On real multi-host TPU slices
-the per-host resources are disjoint by construction.
+Writes HOSTSCALING_r03.json at the repo root.
 """
 from __future__ import annotations
 
@@ -82,17 +87,19 @@ WORKER = textwrap.dedent("""
 """).format(repo=str(ROOT), dev=DEVICES_PER_PROC, g=G, steps=STEPS)
 
 
-def run_config(nproc: int) -> float:
+def run_config(n_workers: int, distributed: bool) -> float:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = str(s.getsockname()[1])
     script = ROOT / "scripts" / "_hostscale_worker.py"
     script.write_text(WORKER)
+    nproc_arg = n_workers if distributed else 1
     procs = [subprocess.Popen(
         ["taskset", "-c", str(pid % max(1, os.cpu_count())),
-         sys.executable, str(script), str(nproc), str(pid), port],
+         sys.executable, str(script), str(nproc_arg),
+         str(pid if distributed else 0), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(nproc)]
+        for pid in range(n_workers)]
     vals = []
     for p in procs:
         out = p.communicate(timeout=900)[0]
@@ -100,30 +107,36 @@ def run_config(nproc: int) -> float:
         for line in out.splitlines():
             if line.startswith("WORKER_RESULT"):
                 vals.append(float(line.split()[2]))
-    assert len(vals) == nproc
+    assert len(vals) == n_workers
     return sum(vals) / len(vals)  # mean per-device poses/s
 
 
 def main():
-    t1 = run_config(1)
-    print(f"1 process  x {DEVICES_PER_PROC} dev: {t1:.0f} poses/s/device",
-          flush=True)
-    t2 = run_config(2)
-    print(f"2 processes x {DEVICES_PER_PROC} dev: {t2:.0f} poses/s/device",
-          flush=True)
-    eff = t2 / t1
+    t1 = run_config(1, distributed=False)
+    print(f"1 process   x {DEVICES_PER_PROC} dev:        "
+          f"{t1:.0f} poses/s/device", flush=True)
+    t2i = run_config(2, distributed=False)
+    print(f"2 processes x {DEVICES_PER_PROC} dev (indep): "
+          f"{t2i:.0f} poses/s/device", flush=True)
+    t2d = run_config(2, distributed=True)
+    print(f"2 processes x {DEVICES_PER_PROC} dev (dist):  "
+          f"{t2d:.0f} poses/s/device", flush=True)
     artifact = {
         "config": {"devices_per_process": DEVICES_PER_PROC,
                    "swarms_per_device": 2, "glowworms": G, "steps": STEPS,
-                   "backend": "cpu-virtual (jax.distributed, 2 OS processes,"
-                              " one pinned core per process)"},
+                   "backend": "cpu-virtual (2 OS processes, one pinned core "
+                              "per process; 'dist' = one jax.distributed "
+                              "global mesh)"},
         "per_device_poses_per_s": {"1_process": round(t1, 1),
-                                   "2_processes": round(t2, 1)},
-        "weak_scaling_efficiency": round(eff, 4),
+                                   "2_independent": round(t2i, 1),
+                                   "2_distributed": round(t2d, 1)},
+        "distributed_efficiency": round(t2d / t2i, 4),
+        "raw_efficiency_vs_1proc": round(t2d / t1, 4),
     }
     out = ROOT / "HOSTSCALING_r03.json"
     out.write_text(json.dumps(artifact, indent=2) + "\n")
-    print(f"efficiency={eff:.3f} -> {out}", flush=True)
+    print(f"distributed_efficiency={t2d / t2i:.3f} "
+          f"(raw vs 1proc: {t2d / t1:.3f}) -> {out}", flush=True)
 
 
 if __name__ == "__main__":
