@@ -657,28 +657,66 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                              select_tree(d2, mid, hi),
                              select_tree(d2, lo, mid))
 
+        # Far/near split: measured on 1ppe (scripts/exp_v2_breakdown.py),
+        # ~1/3 of exact-gate-active chunk-tiles contain NO pair closer than
+        # ~8 A — those only ever select among the far channels, so a short
+        # far-only tree (and a static interface skip: iface2 < t_split)
+        # replaces the full tournament there.  Values are identical: tree
+        # shape never changes WHICH cumulative bin a pair selects.
+        split = None
+        if V2_FAR_SPLIT and len(live) >= 10:
+            cands = [m for m in range(2, len(live) - 2)
+                     if thresholds[live[m]] > iface2]
+            if cands:
+                split = min(cands,
+                            key=lambda m: abs(thresholds[live[m]] - 64.0))
+
+        def store_contrib(d2, in_cut, lo, c0):
+            contrib = select_tree(d2, lo, len(live)).astype(dtype)
+            _v2_store_pose_sums(raw_ref, contrib * in_cut.astype(dtype),
+                                c0, p_block)
+
         def chunk_body(c, _):
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
                 d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
-                in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+                # ONE min-reduction feeds both exact gates as scalar
+                # compares (a second full-tile any() measurably lost).
+                dmin = jnp.min(d2)
 
                 # Exact-distance gate: the box cull is conservative
                 # (~0.8 active at 1ppe scale where one ligand tile spans
                 # the whole molecule), but only ~0.7 of chunk-tiles have
                 # ANY pair inside the cutoff — skip the selection tree,
                 # accumulation and interface work for the rest.
-                @pl.when(jnp.any(in_cut))
+                @pl.when(dmin <= C.DFIRE_DIST_CUTOFF2)
                 def _():
-                    contrib = select_tree(d2, 0, len(live)).astype(dtype)
-                    _v2_store_pose_sums(raw_ref,
-                                        contrib * in_cut.astype(dtype),
-                                        c0, p_block)
-                    if need_iface:
-                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
-                                  iface2, r, l, c0, p_block, g_count,
-                                  n_l_tiles, r_tile, l_tile)
+                    in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+                    if split is None:
+                        store_contrib(d2, in_cut, 0, c0)
+                        if need_iface:
+                            _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                      iface2, r, l, c0, p_block, g_count,
+                                      n_l_tiles, r_tile, l_tile)
+                    else:
+                        near_any = dmin < thresholds[live[split]]
+
+                        @pl.when(near_any)
+                        def _():
+                            store_contrib(d2, in_cut, 0, c0)
+                            if need_iface:
+                                _v2_iface(iface_act_ref, ifr_ref, ifl_ref,
+                                          d2, iface2, r, l, c0, p_block,
+                                          g_count, n_l_tiles, r_tile,
+                                          l_tile)
+
+                        @pl.when(jnp.logical_not(near_any))
+                        def _():
+                            # Every in-cutoff pair is >= t_split: the far
+                            # subtree selects the identical bin, and no
+                            # pair can be inside iface2 (< t_split).
+                            store_contrib(d2, in_cut, split, c0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
