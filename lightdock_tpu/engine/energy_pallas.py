@@ -102,17 +102,25 @@ def pose_chunked_energy(energy_fn, max_chunk: int = V2_MAX_POSES_PER_CALL):
         chunk = -(-(-(-n // n_chunks)) // 8) * 8   # ceil to a multiple of 8
         pad = n_chunks * chunk - n
 
-        def padded(x, fill=0):
+        def padded(x, edge=True):
             if pad == 0:
                 return x
+            if edge:
+                # Replicate the last real pose: finite coordinates keep the
+                # in-kernel exact-distance gates NaN-free (a zero-filled
+                # quaternion rotates to NaN, and one NaN pose poisons the
+                # chunk-wide min-d2 gate for every real pose in its chunk);
+                # the duplicate results are sliced off below.
+                widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                return jnp.pad(x, widths, mode="edge")
             return jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
         args = [padded(t), padded(q), padded(a_rec), padded(a_lig)]
         gate = moved is not None and prev_scoring is not None
         if gate:
             # Padded poses are "unmoved": the kernels never touch them.
-            args += [padded(moved), padded(prev_scoring)]
+            args += [padded(moved, edge=False), padded(prev_scoring)]
 
         def one(xs):
             if gate:

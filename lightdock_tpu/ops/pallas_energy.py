@@ -32,6 +32,7 @@ The cheap restraint/membrane bias stays in XLA (energy_batch._bias).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -531,6 +532,16 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 
 
 V2_POSE_BLOCK = 8
+
+# Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
+# minimum d2 proves no pair is nearer than a mid threshold, a shorter
+# far-only select tree (and a static interface skip) replaces the full
+# tournament.  Values are identical either way (tree shape never changes
+# WHICH cumulative bin a pair selects), so this is purely a perf knob.
+# Default OFF until a measured TPU win is recorded; flip per-run with
+# LIGHTDOCK_V2_FAR_SPLIT=1.
+V2_FAR_SPLIT = _os.environ.get("LIGHTDOCK_V2_FAR_SPLIT", "0") not in (
+    "0", "", "false", "False")
 
 
 def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):

@@ -149,34 +149,47 @@ def main():
     act_np = np.asarray(act_c0)
     log(f"chunk-tile cull active fraction: {act_np.mean():.3f} "
         f"(grid {act_np.shape})")
-    # exact in-cut stats at sub-block granularities (pose, lane-half)
-    d2 = (np.linalg.norm(
-        np.asarray(rec_all0)[0][None, :, None, :]
-        - np.asarray(lig0).transpose(0, 2, 1)[:200, None, :, :], axis=-1)
-        ** 2)
-    inc = d2 <= cutoff ** 2
-    # pad atoms to tile multiples for block stats
-    def frac(blocks):
-        return float(blocks.mean())
-    nrp, nlp = -(-nr // rt) * rt, -(-nl // lt) * lt
-    incp = np.zeros((200, nrp, nlp), bool)
-    incp[:, :nr, :nl] = inc
-    b = incp.reshape(200, n_r, rt, n_l, lt)
-    log(f"exact any-pair active (per pose, {rt}x{lt} tile): "
-        f"{frac(b.any(axis=(2, 4)))::.3f}" if False else
-        f"exact tile-active/pose: {float(b.any(axis=(2, 4)).mean()):.3f}")
-    b8 = incp.reshape(200 // 8, 8, n_r, rt, n_l, lt)
-    log(f"exact tile-active/8-pose-chunk: "
-        f"{float(b8.any(axis=(1, 3, 5)).mean()):.3f}")
-    h = incp.reshape(200, n_r, rt, n_l * lt // 128, 128)
-    h8 = incp.reshape(200 // 8, 8, n_r, rt, n_l * lt // 128, 128)
-    log(f"exact 128-lane-half active/pose: {float(h.any(axis=(2, 4)).mean()):.3f}"
-        f"  /8-chunk: {float(h8.any(axis=(1, 3, 5)).mean()):.3f}")
-    rr = incp.reshape(200, n_r, rt // 8, 8, n_l * lt // 128, 128)
-    rr8 = incp.reshape(200 // 8, 8, n_r, rt // 8, 8, n_l * lt // 128, 128)
-    log(f"exact (8r,128l) active/pose: {float(rr.any(axis=(3, 5)).mean()):.3f}"
-        f"  /8-chunk: {float(rr8.any(axis=(1, 4, 6)).mean()):.3f}")
-    log(f"pair in-cutoff fraction: {float(inc.mean()):.4f}")
+    # exact in-cut stats at sub-block granularities (pose, lane-half);
+    # computed in pose chunks to avoid a (P, nr, nl, 3) f32 intermediate
+    # (several GB at 1ppe scale).
+    rec_np = np.asarray(rec_all0)[0]                      # (nr, 3)
+    lig_np = np.asarray(lig0).transpose(0, 2, 1)          # (n, nl, 3)
+    n_stat = (min(200, lig_np.shape[0]) // 8) * 8
+    if n_stat == 0:
+        log("selectivity stats skipped: fewer than 8 poses")
+    else:
+        nrp, nlp = -(-nr // rt) * rt, -(-nl // lt) * lt
+        incp = np.zeros((n_stat, nrp, nlp), bool)
+        rec2 = (rec_np ** 2).sum(-1)                      # (nr,)
+        for p0 in range(0, n_stat, 16):
+            lc = lig_np[p0:p0 + 16]
+            lig2 = (lc ** 2).sum(-1)                      # (P, nl)
+            dot = np.einsum("ra,pla->prl", rec_np, lc)
+            d2c = rec2[None, :, None] + lig2[:, None, :] - 2.0 * dot
+            incp[p0:p0 + 16, :nr, :nl] = d2c <= cutoff ** 2
+        b = incp.reshape(n_stat, n_r, rt, n_l, lt)
+        log(f"exact tile-active/pose: {float(b.any(axis=(2, 4)).mean()):.3f}")
+        b8 = incp.reshape(n_stat // 8, 8, n_r, rt, n_l, lt)
+        log(f"exact tile-active/8-pose-chunk: "
+            f"{float(b8.any(axis=(1, 3, 5)).mean()):.3f}")
+        if (n_l * lt) % 128 == 0:
+            h = incp.reshape(n_stat, n_r, rt, n_l * lt // 128, 128)
+            h8 = incp.reshape(n_stat // 8, 8, n_r, rt, n_l * lt // 128, 128)
+            log(f"exact 128-lane-half active/pose: "
+                f"{float(h.any(axis=(2, 4)).mean()):.3f}"
+                f"  /8-chunk: {float(h8.any(axis=(1, 3, 5)).mean()):.3f}")
+            if rt % 8 == 0:
+                rr = incp.reshape(n_stat, n_r, rt // 8, 8,
+                                  n_l * lt // 128, 128)
+                rr8 = incp.reshape(n_stat // 8, 8, n_r, rt // 8, 8,
+                                   n_l * lt // 128, 128)
+                log(f"exact (8r,128l) active/pose: "
+                    f"{float(rr.any(axis=(3, 5)).mean()):.3f}"
+                    f"  /8-chunk: {float(rr8.any(axis=(1, 4, 6)).mean()):.3f}")
+        else:
+            log("sub-block stats skipped: ligand width not 128-divisible")
+        log(f"pair in-cutoff fraction (first {n_stat} poses): "
+            f"{float(incp[:, :nr, :nl].mean()):.4f}")
 
     def timed(name, f, *a, reps=2):
         t0 = time.time()

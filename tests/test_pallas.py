@@ -217,6 +217,27 @@ def test_pallas_v2_matches_xla(method, num_anm):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
 
 
+@pytest.mark.parametrize("far_split", [False, True])
+def test_pallas_v2_far_split_parity(monkeypatch, far_split):
+    """Both branches of the far/near tournament split (V2_FAR_SPLIT, off by
+    default) must match the XLA path AND each other bit-for-bit: the tree
+    shape never changes WHICH cumulative bin a pair selects."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_FAR_SPLIT", False)
+    base = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    monkeypatch.setattr(pe, "V2_FAR_SPLIT", far_split)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
 def test_dfire_type_tables_match_dq():
     """The type factorization must reproduce the dq tensor exactly:
     rec_half[k] @ lig_onehot == dfire_dq[k] bit-for-bit (both select the
