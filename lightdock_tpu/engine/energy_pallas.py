@@ -311,7 +311,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
           chunk-granularity cull bits (OR over the chunk) and the in-kernel
           exact-distance gates fire far more often.
         """
-        morton = _morton_key(t)
+        # LIGHTDOCK_POSE_ORDER=none disables the Morton sort (measurement
+        # toggle, scripts/bench_kernel_opts.py); moved-first packing stays.
+        import os as _os
+        use_morton = _os.environ.get("LIGHTDOCK_POSE_ORDER",
+                                     "morton") != "none"
+        g = t.shape[0]
+        morton = (_morton_key(t) if use_morton
+                  else jnp.arange(g, dtype=jnp.int32))
         if moved is not None and prev_scoring is not None:
             order = jnp.lexsort((morton,
                                  jnp.logical_not(moved).astype(jnp.int32)))
@@ -319,6 +326,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             perm = _compute(p, t[order], q[order], a_rec[order],
                             a_lig[order], moved[order])
             return jnp.where(moved, perm[inv], prev_scoring)
+        if not use_morton:
+            return _compute(p, t, q, a_rec, a_lig, None)
         order = jnp.argsort(morton)
         inv = jnp.argsort(order)
         perm = _compute(p, t[order], q[order], a_rec[order], a_lig[order],

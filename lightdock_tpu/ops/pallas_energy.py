@@ -543,6 +543,15 @@ V2_POSE_BLOCK = 8
 V2_FAR_SPLIT = _os.environ.get("LIGHTDOCK_V2_FAR_SPLIT", "0") not in (
     "0", "", "false", "False")
 
+# Measurement toggles (scripts/bench_kernel_opts.py): disable the in-kernel
+# exact-min-d2 chunk gate, or replace the balanced select tournament with
+# the serial compare+select chain it superseded, to quantify each
+# optimization's contribution on real hardware.  Both default to the
+# production configuration.
+V2_EXACT_GATE = _os.environ.get("LIGHTDOCK_V2_EXACT_GATE", "1") not in (
+    "0", "", "false", "False")
+V2_SELECT = _os.environ.get("LIGHTDOCK_V2_SELECT", "tree")
+
 
 def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
     """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
@@ -668,6 +677,22 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                              select_tree(d2, mid, hi),
                              select_tree(d2, lo, mid))
 
+        def select_chain(d2, lo, hi):
+            """The serial compare+select chain the tournament replaced
+            (kept behind LIGHTDOCK_V2_SELECT=chain for measurement):
+            ascending thresholds, so the last taken select wins — the
+            identical cumulative bin, with a serial dependence per
+            channel."""
+            acc = jnp.broadcast_to(dq_scr[live[lo]:live[lo] + 1], d2.shape)
+            for i in range(lo + 1, hi):
+                k = live[i]
+                acc = jnp.where(d2 >= thresholds[k],
+                                jnp.broadcast_to(dq_scr[k:k + 1], d2.shape),
+                                acc)
+            return acc
+
+        select_fn = select_tree if V2_SELECT != "chain" else select_chain
+
         # Far/near split: measured on 1ppe (scripts/exp_v2_breakdown.py),
         # ~1/3 of exact-gate-active chunk-tiles contain NO pair closer than
         # ~8 A — those only ever select among the far channels, so a short
@@ -675,7 +700,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         # replaces the full tournament there.  Values are identical: tree
         # shape never changes WHICH cumulative bin a pair selects.
         split = None
-        if V2_FAR_SPLIT and len(live) >= 10:
+        if V2_FAR_SPLIT and V2_EXACT_GATE and len(live) >= 10:
             cands = [m for m in range(2, len(live) - 2)
                      if thresholds[live[m]] > iface2]
             if cands:
@@ -683,15 +708,45 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                             key=lambda m: abs(thresholds[live[m]] - 64.0))
 
         def store_contrib(d2, in_cut, lo, c0):
-            contrib = select_tree(d2, lo, len(live)).astype(dtype)
+            contrib = select_fn(d2, lo, len(live)).astype(dtype)
             _v2_store_pose_sums(raw_ref, contrib * in_cut.astype(dtype),
                                 c0, p_block)
+
+        def chunk_inner(d2, dmin, c0):
+            in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+            if split is None:
+                store_contrib(d2, in_cut, 0, c0)
+                if need_iface:
+                    _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                              iface2, r, l, c0, p_block, g_count,
+                              n_l_tiles, r_tile, l_tile)
+            else:
+                near_any = dmin < thresholds[live[split]]
+
+                @pl.when(near_any)
+                def _():
+                    store_contrib(d2, in_cut, 0, c0)
+                    if need_iface:
+                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref,
+                                  d2, iface2, r, l, c0, p_block,
+                                  g_count, n_l_tiles, r_tile,
+                                  l_tile)
+
+                @pl.when(jnp.logical_not(near_any))
+                def _():
+                    # Every in-cutoff pair is >= t_split: the far
+                    # subtree selects the identical bin, and no
+                    # pair can be inside iface2 (< t_split).
+                    store_contrib(d2, in_cut, split, c0)
 
         def chunk_body(c, _):
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
                 d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+                if not V2_EXACT_GATE:
+                    chunk_inner(d2, jnp.min(d2), c0)
+                    return
                 # ONE min-reduction feeds both exact gates as scalar
                 # compares (a second full-tile any() measurably lost).
                 dmin = jnp.min(d2)
@@ -703,31 +758,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                 # accumulation and interface work for the rest.
                 @pl.when(dmin <= C.DFIRE_DIST_CUTOFF2)
                 def _():
-                    in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
-                    if split is None:
-                        store_contrib(d2, in_cut, 0, c0)
-                        if need_iface:
-                            _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
-                                      iface2, r, l, c0, p_block, g_count,
-                                      n_l_tiles, r_tile, l_tile)
-                    else:
-                        near_any = dmin < thresholds[live[split]]
-
-                        @pl.when(near_any)
-                        def _():
-                            store_contrib(d2, in_cut, 0, c0)
-                            if need_iface:
-                                _v2_iface(iface_act_ref, ifr_ref, ifl_ref,
-                                          d2, iface2, r, l, c0, p_block,
-                                          g_count, n_l_tiles, r_tile,
-                                          l_tile)
-
-                        @pl.when(jnp.logical_not(near_any))
-                        def _():
-                            # Every in-cutoff pair is >= t_split: the far
-                            # subtree selects the identical bin, and no
-                            # pair can be inside iface2 (< t_split).
-                            store_contrib(d2, in_cut, split, c0)
+                    chunk_inner(d2, dmin, c0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)

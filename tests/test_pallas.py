@@ -238,6 +238,29 @@ def test_pallas_v2_far_split_parity(monkeypatch, far_split):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
 
 
+@pytest.mark.parametrize("gate,select,order", [
+    (False, "tree", "morton"),   # exact-d2 gate off
+    (True, "chain", "morton"),   # serial select chain
+    (True, "tree", "none"),      # Morton pose sort off
+])
+def test_pallas_v2_measurement_toggles(monkeypatch, gate, select, order):
+    """The kernel-optimization measurement toggles (exact-gate, select
+    tree/chain, Morton order) are semantically free: every combination
+    must match the XLA path."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_EXACT_GATE", gate)
+    monkeypatch.setattr(pe, "V2_SELECT", select)
+    monkeypatch.setenv("LIGHTDOCK_POSE_ORDER", order)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_dfire_type_tables_match_dq():
     """The type factorization must reproduce the dq tensor exactly:
     rec_half[k] @ lig_onehot == dfire_dq[k] bit-for-bit (both select the
