@@ -98,12 +98,15 @@ def main():
                                                         pick_tiles,
                                                         resolve_kernel,
                                                         spatial_sort_params)
+        from lightdock_tpu.engine.energy_pallas import pose_chunked_energy
         p2 = ensure_dfire_types(params_host)
         p2 = dc.replace(p2, dfire_dq=None)
         rt, lt = pick_tiles(p2, resolve_kernel(p2, "auto"))
         p2 = spatial_sort_params(p2, r_tile=rt, l_tile=lt)
-        efn = make_pallas_energy_fn(p2, cull=True, r_tile=rt, l_tile=lt)
-        efn_nc = make_pallas_energy_fn(p2, cull=False, r_tile=rt, l_tile=lt)
+        efn = pose_chunked_energy(
+            make_pallas_energy_fn(p2, cull=True, r_tile=rt, l_tile=lt))
+        efn_nc = pose_chunked_energy(
+            make_pallas_energy_fn(p2, cull=False, r_tile=rt, l_tile=lt))
         dp2 = device_params(p2, dtype=jnp.float32)
         log(f"tiles: r={rt} l={lt}")
 
@@ -141,6 +144,58 @@ def main():
         run("energy", e_body(efn, True))
         run("energy_ng", e_body(efn, False))
         run("energy_nc", e_body(efn_nc, False))
+
+        # cull-only: tile-box mask + coarsen at the kernel's geometry
+        # (rebuilt here at the same shapes make_pallas_energy_fn uses).
+        from lightdock_tpu.ops.pallas_energy import (R_SUB, L_SUB,
+                                                     cull_mask_boxes,
+                                                     tile_boxes)
+        r_sub = R_SUB if rt % R_SUB == 0 else rt
+        l_sub = L_SUB if lt % L_SUB == 0 else lt
+        rcen, rhal = tile_boxes(p2.rec_coords, r_sub)
+        lcen, lhal = tile_boxes(p2.lig_coords, l_sub)
+        n_rt = -(-p2.rec_coords.shape[0] // rt)
+        n_lt = -(-p2.lig_coords.shape[0] // lt)
+        rg_, lg_ = rt // r_sub, lt // l_sub
+
+        def padg(c, h, n_tiles, grp):
+            pad = n_tiles * grp - c.shape[0]
+            if pad > 0:
+                c = np.pad(c, ((0, pad), (0, 0)))
+                h = np.pad(h, ((0, pad), (0, 0)), constant_values=-np.inf)
+            return jnp.asarray(c, jnp.float32), jnp.asarray(h, jnp.float32)
+        rcen, rhal = padg(rcen, rhal, n_rt, rg_)
+        lcen, lhal = padg(lcen, lhal, n_lt, lg_)
+        zs = jnp.zeros((n,), jnp.float32)
+
+        def cull_body():
+            def body(c, _):
+                rot = qt.rotation_matrix(q_, jnp)
+                fine = cull_mask_boxes(rcen, rhal, lcen, lhal, t_ + c * 1e-6,
+                                       rot, zs, zs, (15.0, 2.45))
+                acts = [a.reshape(n_rt, rg_, n_lt, lg_, n).max(axis=(1, 3))
+                        for a in fine]
+                return c + sum(a.sum() for a in acts).astype(jnp.float32) * 0.0, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=STEPS)
+
+        # sort-only: Morton key + lexsort + pose gather (the permutation
+        # overhead energy_fn pays before every kernel call)
+        from lightdock_tpu.engine.energy_pallas import _morton_key
+
+        def sort_body():
+            def body(c, _):
+                tt = t_ + c * 1e-6
+                key = _morton_key(tt)
+                order = jnp.lexsort((key, (zs > 0).astype(jnp.int32)))
+                inv = jnp.argsort(order)
+                s = (tt[order].sum() + q_[order].sum()
+                     + inv.astype(jnp.float32).sum())
+                return c + s * 0.0, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=STEPS)
+
+        from lightdock_tpu.ops import quaternion as qt
+        run("cull", cull_body)
+        run("sort", sort_body)
 
         # movement-only: energy = passthrough of carried scoring
         def move_step(p, st, rr):
