@@ -552,6 +552,15 @@ V2_EXACT_GATE = _os.environ.get("LIGHTDOCK_V2_EXACT_GATE", "1") not in (
     "0", "", "false", "False")
 V2_SELECT = _os.environ.get("LIGHTDOCK_V2_SELECT", "tree")
 
+# Sub-block exact gating: within an active chunk-tile, run the selection
+# tournament per (P, 8, l_tile) receptor-row sub-block, each behind its
+# own min-d2 gate (and far/near split when enabled).  Fine-granularity
+# in-cutoff activity is ~2-3x sparser than tile activity (measured by
+# scripts/exp_v2_breakdown.py), so most sub-blocks skip the ~2-op-per-
+# channel tournament entirely at the cost of one extra min-reduction.
+V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
+    "0", "", "false", "False")
+
 
 def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
     """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
@@ -664,31 +673,35 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         for i in range(1, len(live)):
             dq_scr[live[i]] = dq_scr[live[i]] + dq_scr[live[i - 1]]
 
-        def select_tree(d2, lo, hi):
+        def leaf(k, d2, row0):
+            """(1, rows, l_tile) cumulative-potential block for channel k,
+            windowed to the receptor rows d2 covers (row0 static)."""
+            rows = d2.shape[1]
+            return jnp.broadcast_to(
+                dq_scr[k:k + 1, row0:row0 + rows, :], d2.shape)
+
+        def select_tree(d2, lo, hi, row0=0):
             """Cumulative-potential value for the bin of d2 among live
             channels [lo, hi): a balanced tournament of selects — 2 VPU
             ops per channel instead of the 3 of a compare+add+select
             chain, and no serial dependence between channels."""
             if hi - lo == 1:
-                k = live[lo]
-                return jnp.broadcast_to(dq_scr[k:k + 1], d2.shape)
+                return leaf(live[lo], d2, row0)
             mid = (lo + hi) // 2
             return jnp.where(d2 >= thresholds[live[mid]],
-                             select_tree(d2, mid, hi),
-                             select_tree(d2, lo, mid))
+                             select_tree(d2, mid, hi, row0),
+                             select_tree(d2, lo, mid, row0))
 
-        def select_chain(d2, lo, hi):
+        def select_chain(d2, lo, hi, row0=0):
             """The serial compare+select chain the tournament replaced
             (kept behind LIGHTDOCK_V2_SELECT=chain for measurement):
             ascending thresholds, so the last taken select wins — the
             identical cumulative bin, with a serial dependence per
             channel."""
-            acc = jnp.broadcast_to(dq_scr[live[lo]:live[lo] + 1], d2.shape)
+            acc = leaf(live[lo], d2, row0)
             for i in range(lo + 1, hi):
                 k = live[i]
-                acc = jnp.where(d2 >= thresholds[k],
-                                jnp.broadcast_to(dq_scr[k:k + 1], d2.shape),
-                                acc)
+                acc = jnp.where(d2 >= thresholds[k], leaf(k, d2, row0), acc)
             return acc
 
         select_fn = select_tree if V2_SELECT != "chain" else select_chain
@@ -707,12 +720,46 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                 split = min(cands,
                             key=lambda m: abs(thresholds[live[m]] - 64.0))
 
-        def store_contrib(d2, in_cut, lo, c0):
-            contrib = select_fn(d2, lo, len(live)).astype(dtype)
+        def store_contrib(d2, in_cut, lo, c0, row0=0):
+            contrib = select_fn(d2, lo, len(live), row0).astype(dtype)
             _v2_store_pose_sums(raw_ref, contrib * in_cut.astype(dtype),
                                 c0, p_block)
 
+        def chunk_inner_subgate(d2, c0):
+            """Energy accumulation with per-(P, 8, l_tile) sub-block gates:
+            the tournament and pose-sum RMW run only for receptor-row
+            sub-blocks holding at least one in-cutoff pair; the interface
+            accumulation stays at chunk level (its own activity bits are
+            far sparser)."""
+            for si in range(r_tile // 8):
+                d2s = d2[:, si * 8:(si + 1) * 8, :]
+                dmin_s = jnp.min(d2s)
+                row0 = si * 8
+
+                @pl.when(dmin_s <= C.DFIRE_DIST_CUTOFF2)
+                def _(d2s=d2s, dmin_s=dmin_s, row0=row0):
+                    in_cut = d2s <= C.DFIRE_DIST_CUTOFF2
+                    if split is None:
+                        store_contrib(d2s, in_cut, 0, c0, row0)
+                    else:
+                        near_s = dmin_s < thresholds[live[split]]
+
+                        @pl.when(near_s)
+                        def _():
+                            store_contrib(d2s, in_cut, 0, c0, row0)
+
+                        @pl.when(jnp.logical_not(near_s))
+                        def _():
+                            store_contrib(d2s, in_cut, split, c0, row0)
+            if need_iface:
+                _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                          iface2, r, l, c0, p_block, g_count,
+                          n_l_tiles, r_tile, l_tile)
+
         def chunk_inner(d2, dmin, c0):
+            if V2_SUBGATE and r_tile % 8 == 0 and r_tile > 8:
+                chunk_inner_subgate(d2, c0)
+                return
             in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
             if split is None:
                 store_contrib(d2, in_cut, 0, c0)

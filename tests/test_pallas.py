@@ -238,6 +238,29 @@ def test_pallas_v2_far_split_parity(monkeypatch, far_split):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
 
 
+@pytest.mark.parametrize("far_split", [False, True])
+def test_pallas_v2_subgate_parity(monkeypatch, far_split):
+    """Sub-block exact gating (V2_SUBGATE) selects the same cumulative bin
+    per pair; only the f32 pose-sum accumulation ORDER changes (per 8-row
+    sub-block instead of per 32-row tile), so it matches the XLA path at
+    the standard v2 tolerance, with or without the far/near split."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_SUBGATE", True)
+    monkeypatch.setattr(pe, "V2_FAR_SPLIT", far_split)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    # Culled and uncalled paths must still agree exactly.
+    full = make_pallas_energy_fn(params, interpret=True, cull=False,
+                                 kernel="v2")(dp, *pose)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+
+
 @pytest.mark.parametrize("gate,select,order", [
     (False, "tree", "morton"),   # exact-d2 gate off
     (True, "chain", "morton"),   # serial select chain
