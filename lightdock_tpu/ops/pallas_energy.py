@@ -531,7 +531,9 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 # the latter case, so ANM workloads (1azp/2uuy/1czy) use the same kernel.
 
 
-V2_POSE_BLOCK = 8
+# Poses per chunk (the kernels' innermost batch unit).  8 is the measured
+# default; env-overridable for A/B measurement (scripts/bench_farm_opts.py).
+V2_POSE_BLOCK = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "8"))
 
 # Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
 # minimum d2 proves no pair is nearer than a mid threshold, a shorter

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Multi-swarm farm A/B measurement (VERDICT r3 item 3: >=500k aggregate).
+
+Measures the 1ppe DFIRE S-swarm farm (Pallas v2, pose-chunked) under each
+kernel-optimization toggle, one subprocess per config (tunnel-fault
+isolation).  Writes FARM_r04.json: {config: {S: {agg_poses_per_s, ...}}}.
+
+Usage:
+  python scripts/bench_farm_opts.py                    # all configs
+  python scripts/bench_farm_opts.py --worker 8,32     # internal
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+STEPS = int(os.environ.get("FARM_BENCH_STEPS", "50"))
+
+CONFIGS = {
+    "prod": {},
+    "subgate": {"LIGHTDOCK_V2_SUBGATE": "1"},
+    "far_split": {"LIGHTDOCK_V2_FAR_SPLIT": "1"},
+    "subgate_far": {"LIGHTDOCK_V2_SUBGATE": "1",
+                    "LIGHTDOCK_V2_FAR_SPLIT": "1"},
+    "pose_block16": {"LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "no_morton": {"LIGHTDOCK_POSE_ORDER": "none"},
+}
+# Swarm counts per config: the S sweep only for prod (compiles are ~5-8
+# min each through the tunnel); toggles are A/B'd at the target S=32.
+SWEEP = {"prod": (8, 32, 64)}
+DEFAULT_S = (32,)
+
+
+def worker(s_list) -> int:
+    import signal
+
+    signal.signal(signal.SIGALRM, lambda *_: os._exit(3))
+    signal.alarm(int(os.environ.get("FARM_BENCH_TIMEOUT", "2700")))
+
+    import numpy as np
+
+    sys.path.insert(0, str(ROOT))
+    import jax
+    import jax.numpy as jnp
+
+    from lightdock_tpu.parallel.farm import SwarmFarmRunner
+    from lightdock_tpu.simulation import load_simulation
+
+    ex = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE",
+                                     "/root/reference")) / "example/1ppe"
+    sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
+                          "dfire")
+    g = sim.positions.shape[0]
+    params = sim.batch_params(dtype=np.float32)
+    out = {}
+    for s in s_list:
+        runner = SwarmFarmRunner(params, [sim.positions] * s,
+                                 list(range(s)), seed=324324, use_anm=False,
+                                 anm_rec=0, anm_lig=0, dtype=jnp.float32,
+                                 output_root=None, energy_mode="pallas")
+        states0 = runner.states
+        t0 = time.time()
+        runner.run_segmented(STEPS, segment=STEPS)
+        np.asarray(runner.states.scoring)
+        compile_t = time.time() - t0
+        best = 1e9
+        for _ in range(3):
+            runner._start_step, runner.states = 0, states0
+            t0 = time.time()
+            runner.run_segmented(STEPS, segment=STEPS)
+            np.asarray(runner.states.scoring)
+            best = min(best, time.time() - t0)
+        out[str(s)] = {
+            "agg_poses_per_s": round(s * g * STEPS / best, 1),
+            "ms_per_step": round(best / STEPS * 1e3, 3),
+            "compile_s": round(compile_t, 1),
+        }
+        del runner
+    print(json.dumps({"backend": jax.default_backend(), "results": out}))
+    return 0
+
+
+def main() -> int:
+    results = {}
+    for name, env_over in CONFIGS.items():
+        s_list = SWEEP.get(name, DEFAULT_S)
+        env = dict(os.environ, **env_over)
+        print(f"=== {name} {env_over} S={s_list}", flush=True)
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker",
+                 ",".join(map(str, s_list))], env=env,
+                capture_output=True, text=True, timeout=3000)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT", flush=True)
+            results[name] = {"error": "timeout"}
+            continue
+        line = next((ln for ln in reversed(out.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if out.returncode != 0 or line is None:
+            print(f"{name}: FAILED rc={out.returncode}\n{out.stderr[-2000:]}",
+                  flush=True)
+            results[name] = {"error": f"rc={out.returncode}"}
+            continue
+        results[name] = json.loads(line)["results"]
+        print(f"{name}: {results[name]}", flush=True)
+
+    out_path = ROOT / "FARM_r04.json"
+    out_path.write_text(json.dumps(
+        {"workload": f"1ppe dfire farm, {STEPS} steps, pallas v2",
+         "configs": results}, indent=2) + "\n")
+    print(f"wrote {out_path}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        s_arg = sys.argv[sys.argv.index("--worker") + 1]
+        sys.exit(worker([int(x) for x in s_arg.split(",")]))
+    sys.exit(main())
