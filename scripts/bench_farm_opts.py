@@ -29,6 +29,13 @@ CONFIGS = {
                     "LIGHTDOCK_V2_FAR_SPLIT": "1"},
     "pose_block16": {"LIGHTDOCK_V2_POSE_BLOCK": "16"},
     "no_morton": {"LIGHTDOCK_POSE_ORDER": "none"},
+    "no_exact_gate": {"LIGHTDOCK_V2_EXACT_GATE": "0"},
+    "chain_select": {"LIGHTDOCK_V2_SELECT": "chain"},
+    "far_chain": {"LIGHTDOCK_V2_FAR_SPLIT": "1",
+                  "LIGHTDOCK_V2_SELECT": "chain"},
+    "subgate_far_chain": {"LIGHTDOCK_V2_SUBGATE": "1",
+                          "LIGHTDOCK_V2_FAR_SPLIT": "1",
+                          "LIGHTDOCK_V2_SELECT": "chain"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.
