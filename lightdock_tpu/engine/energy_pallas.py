@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as Cst
+from ..ops import pallas_energy as _pe
 from ..ops import quaternion as qt
 from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE, V2_POSE_BLOCK,
                                  anm_mode_bounds, cull_mask_boxes,
@@ -278,6 +279,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         # rec_half channels (energy_batch.dfire_step_tables / _type_tables).
         thresholds = tuple(
             float(x) for x in np.asarray(params.dfire_thresholds, np.float64))
+    # Bits-driven far/near split (ops.pallas_energy.V2_FAR_BITS): a third
+    # cull cutoff at the far-split threshold yields per-chunk "near" bits
+    # the kernel branches on instead of an in-kernel min-d2 reduce.
+    near_cut = None
+    if method == "dfire" and kernel == "v2" and _pe.V2_FAR_BITS:
+        split_idx, live = _pe.dfire_far_split(thresholds)
+        if split_idx is not None:
+            near_cut = float(np.sqrt(thresholds[live[split_idx]]))
     n_r = -(-nr // r_tile)
     n_l = -(-nl // l_tile)
     rg, lg = r_tile // r_sub, l_tile // l_sub
@@ -355,37 +364,51 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         else:
             rec_all = jnp.broadcast_to(rec_base[None], (g, nr, 3))
 
+        cuts = ((cutoff, iface_cutoff) if near_cut is None
+                else (cutoff, iface_cutoff, near_cut))
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
             ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
-            fine = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls,
-                                   (cutoff, iface_cutoff))
+            fine = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls, cuts)
 
             def coarsen(a):  # OR-reduce sub-boxes to kernel tiles
                 return a.reshape(n_r, rg, n_l, lg, g).max(axis=(1, 3))
 
-            act, act_iface = (coarsen(a) for a in fine)
+            coarse = [coarsen(a) for a in fine]
         else:
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
-            act_iface = act
+            coarse = [act] * len(cuts)
+        act, act_iface = coarse[0], coarse[1]
+        near = coarse[2] if near_cut is not None else None
 
         if moved is not None:
             gate = moved.astype(act.dtype)[None, None, :]
             act = act * gate
             act_iface = act_iface * gate
+            if near is not None:
+                # Unmoved poses never force the full near path; their raw
+                # rows may select far bins but are discarded by the
+                # moved-gate where() in energy_fn.
+                near = near * gate
 
         if kernel == "v2":
             # Energy-cutoff bits at pose-chunk granularity (OR over each
             # P-pose chunk); interface bits stay per pose.
             p_blk = V2_POSE_BLOCK
             gp = -(-g // p_blk) * p_blk
-            act_c = jnp.pad(act, ((0, 0), (0, 0), (0, gp - g)))
-            act_c = act_c.reshape(n_r, n_l, gp // p_blk, p_blk).max(axis=-1)
+
+            def chunked(a):
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, gp - g)))
+                return a.reshape(n_r, n_l, gp // p_blk, p_blk).max(axis=-1)
+
+            act_c = chunked(act)
+            near_c = chunked(near) if near is not None else None
             if method == "dfire":
                 raw, ifr, ifl = dfire_pairs_pallas_v2(
                     rec_all, lig, p.dfire_rec_half, p.dfire_lig_onehot,
                     thresholds, act_c, act_iface, interpret=interpret,
-                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface)
+                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface,
+                    near_chunks=near_c)
             else:
                 raw, ifr, ifl = elec_vdw_pairs_pallas_v2(
                     rec_all, lig, p.ele_rec, p.ele_lig,

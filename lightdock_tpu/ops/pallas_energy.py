@@ -563,6 +563,14 @@ V2_SELECT = _os.environ.get("LIGHTDOCK_V2_SELECT", "tree")
 V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
     "0", "", "false", "False")
 
+# Bits-driven far/near split: derive the near decision from prefetched
+# SMEM box-cull bits (computed on the XLA side at a third cutoff) instead
+# of an in-kernel min-d2 reduce — the reduce's vector->scalar dependence
+# measurably serializes the pipeline (KERNEL_r04/FARM_r04: gates cost ~10%)
+# while SMEM bit reads are free.  Default off until measured.
+V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "0") not in (
+    "0", "", "false", "False")
+
 
 def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
     """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
@@ -638,10 +646,34 @@ def _v2_tile_any(act_ref, n_l_tiles, cwords, r, l):
     return acc != jnp.uint32(0)
 
 
+def dfire_live_channels(thresholds):
+    """Channel indices that can fire inside the distance cutoff (channels
+    whose threshold exceeds the cutoff are trimmed at table build; keep
+    the guard for hand-built params)."""
+    return [k for k, s in enumerate(thresholds)
+            if k == 0 or s <= C.DFIRE_DIST_CUTOFF2]
+
+
+def dfire_far_split(thresholds):
+    """(split, live): the live-channel index of the far/near boundary
+    (~8 A, must sit beyond the interface cutoff) or None when the channel
+    count is too small to benefit.  Shared by the kernel and by the host
+    side that derives near-cull bits, so both always agree."""
+    live = dfire_live_channels(thresholds)
+    iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
+    if len(live) < 10:
+        return None, live
+    cands = [m for m in range(2, len(live) - 2)
+             if thresholds[live[m]] > iface2]
+    if not cands:
+        return None, live
+    return min(cands, key=lambda m: abs(thresholds[live[m]] - 64.0)), live
+
+
 def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
-                     need_iface, rec_per_pose, n_k,
-                     act_ref, iface_act_ref, rec_ref, lig_ref, rh_ref,
-                     loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
+                     need_iface, rec_per_pose, n_k, far_bits,
+                     act_ref, iface_act_ref, near_ref, rec_ref, lig_ref,
+                     rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
     r = pl.program_id(0)
     l = pl.program_id(1)
     p_block = V2_POSE_BLOCK
@@ -649,10 +681,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
     iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
-    # Channels whose threshold exceeds the cutoff can never fire (trimmed
-    # at table build; keep the guard for hand-built params).
-    live = [k for k, s in enumerate(thresholds)
-            if k == 0 or s <= C.DFIRE_DIST_CUTOFF2]
+    live = dfire_live_channels(thresholds)
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -715,12 +744,8 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         # replaces the full tournament there.  Values are identical: tree
         # shape never changes WHICH cumulative bin a pair selects.
         split = None
-        if V2_FAR_SPLIT and V2_EXACT_GATE and len(live) >= 10:
-            cands = [m for m in range(2, len(live) - 2)
-                     if thresholds[live[m]] > iface2]
-            if cands:
-                split = min(cands,
-                            key=lambda m: abs(thresholds[live[m]] - 64.0))
+        if far_bits or (V2_FAR_SPLIT and V2_EXACT_GATE):
+            split, _ = dfire_far_split(thresholds)
 
         def store_contrib(d2, in_cut, lo, c0, row0=0):
             contrib = select_fn(d2, lo, len(live), row0).astype(dtype)
@@ -789,6 +814,38 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                     store_contrib(d2, in_cut, split, c0)
 
         def chunk_body(c, _):
+            if far_bits and split is not None:
+                # Bits-driven far/near split: the near decision comes from
+                # the prefetched SMEM box bits (computed on the XLA side
+                # with the same boxes as the energy cull), so no in-kernel
+                # vector->scalar min reduce serializes the pipeline.  The
+                # near bit is conservative: bit 0 PROVES no pair in this
+                # chunk-tile is closer than thresholds[live[split]], so the
+                # far-only subtree selects the identical bin and no pair
+                # can be inside iface2 (< t_split).
+                c0 = pl.multiple_of(c * p_block, p_block)
+                is_act = _active(act_ref, n_l_tiles, cwords, r, l, c)
+                is_near = _active(near_ref, n_l_tiles, cwords, r, l, c)
+
+                @pl.when(is_act & is_near)
+                def _():
+                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                     rec_per_pose)
+                    in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+                    store_contrib(d2, in_cut, 0, c0)
+                    if need_iface:
+                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                  iface2, r, l, c0, p_block, g_count,
+                                  n_l_tiles, r_tile, l_tile)
+
+                @pl.when(is_act & jnp.logical_not(is_near))
+                def _():
+                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                     rec_per_pose)
+                    in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+                    store_contrib(d2, in_cut, split, c0)
+                return 0
+
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
@@ -817,7 +874,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                           active_chunks, iface_active,
                           interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
-                          need_iface: bool = True):
+                          need_iface: bool = True, near_chunks=None):
     """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
 
     rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
@@ -852,16 +909,23 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
         active_chunks.shape, (n_r, n_l, n_chunks))
     iface_active = _pad_to(iface_active, 2, p_block, 0)
     assert iface_active.shape == (n_r, n_l, gp)
+    far_bits = near_chunks is not None
+    if far_bits:
+        assert near_chunks.shape == (n_r, n_l, n_chunks), near_chunks.shape
+        near_packed = pack_cull_bits(near_chunks)
+    else:
+        # Dummy scalar-prefetch word (the kernel never reads it).
+        near_packed = jnp.zeros((1,), jnp.uint32)
 
     kernel = functools.partial(
         _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
-        l_tile, n_l, need_iface, rec_per_pose, n_k)
+        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits)
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
     ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_r, n_l),
         in_specs=[
             pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
@@ -893,7 +957,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
         ],
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
-      rec_all, lig_all, rec_half, lig_onehot)
+      near_packed, rec_all, lig_all, rec_half, lig_onehot)
     if not need_iface:
         return raw[:g, 0, 0], None, None
     return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]

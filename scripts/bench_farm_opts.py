@@ -36,6 +36,22 @@ CONFIGS = {
     "subgate_far_chain": {"LIGHTDOCK_V2_SUBGATE": "1",
                           "LIGHTDOCK_V2_FAR_SPLIT": "1",
                           "LIGHTDOCK_V2_SELECT": "chain"},
+    # round 2: bits-driven far/near split (no in-kernel reduces at all)
+    "far_bits": {"LIGHTDOCK_V2_FAR_BITS": "1"},
+    "far_bits_chain": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                       "LIGHTDOCK_V2_SELECT": "chain"},
+    "far_bits_pb16": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "far_bits_chain_pb16": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                            "LIGHTDOCK_V2_SELECT": "chain",
+                            "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "far_chain_pb16": {"LIGHTDOCK_V2_FAR_SPLIT": "1",
+                       "LIGHTDOCK_V2_SELECT": "chain",
+                       "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "noeg_pb16": {"LIGHTDOCK_V2_EXACT_GATE": "0",
+                  "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "far_bits_pb32": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "32"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.
@@ -93,8 +109,18 @@ def worker(s_list) -> int:
 
 
 def main() -> int:
-    results = {}
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    out_name = os.environ.get("FARM_BENCH_OUT", "FARM_r04.json")
+    prior = {}
+    if (ROOT / out_name).exists():
+        prior = json.loads((ROOT / out_name).read_text()).get("configs", {})
+    results = dict(prior)
     for name, env_over in CONFIGS.items():
+        if only is not None and name not in only:
+            continue
         s_list = SWEEP.get(name, DEFAULT_S)
         env = dict(os.environ, **env_over)
         print(f"=== {name} {env_over} S={s_list}", flush=True)
@@ -117,7 +143,7 @@ def main() -> int:
         results[name] = json.loads(line)["results"]
         print(f"{name}: {results[name]}", flush=True)
 
-    out_path = ROOT / "FARM_r04.json"
+    out_path = ROOT / out_name
     out_path.write_text(json.dumps(
         {"workload": f"1ppe dfire farm, {STEPS} steps, pallas v2",
          "configs": results}, indent=2) + "\n")

@@ -261,6 +261,40 @@ def test_pallas_v2_subgate_parity(monkeypatch, far_split):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
 
 
+@pytest.mark.parametrize("num_anm", [0, 2])
+def test_pallas_v2_far_bits_parity(monkeypatch, num_anm):
+    """Bits-driven far/near split (V2_FAR_BITS): the near decision moves
+    from an in-kernel min-d2 reduce to prefetched box-cull bits.  Selected
+    bins and accumulation order are unchanged, so results must equal the
+    default kernel bit-for-bit and match XLA at tolerance."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=num_anm)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    base = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    monkeypatch.setattr(pe, "V2_FAR_BITS", True)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    # moved-gate path: unmoved poses pass stored scores through even when
+    # their chunk takes the far branch.
+    g = np.asarray(base).shape[0]
+    rng = np.random.RandomState(7)
+    moved = jnp.asarray(rng.rand(g) < 0.5)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                  kernel="v2")(dp, *pose, moved=moved,
+                                               prev_scoring=prev)
+    m = np.asarray(moved)
+    np.testing.assert_array_equal(np.asarray(gated)[~m], np.asarray(prev)[~m])
+    np.testing.assert_allclose(np.asarray(gated)[m], np.asarray(ref)[m],
+                               rtol=5e-5, atol=5e-5)
+
+
 @pytest.mark.parametrize("gate,select,order", [
     (False, "tree", "morton"),   # exact-d2 gate off
     (True, "chain", "morton"),   # serial select chain
