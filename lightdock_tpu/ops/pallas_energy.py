@@ -571,6 +571,14 @@ V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
 V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "0") not in (
     "0", "", "false", "False")
 
+# d2 computation mode for the v2 kernels: 'diff' (direct difference,
+# 9 VPU ops/element, exactly the XLA path's rounding) or 'aug' (one
+# augmented-coordinate MXU contraction per pose — offloads the d2
+# arithmetic to the otherwise-idle MXU; expansion-form rounding, so
+# parity vs XLA is at tolerance, not bit-exact).  Rigid receptor only;
+# falls back to 'diff' under receptor ANM.
+V2_D2 = _os.environ.get("LIGHTDOCK_V2_D2", "diff")
+
 
 def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
     """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
@@ -589,6 +597,36 @@ def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
         term = diff * diff
         d2 = term if d2 is None else d2 + term
     return d2
+
+
+def _v2_tile_d2_aug(rec_ref, lig_ref, c0, p_block):
+    """(P, r_tile, l_tile) squared distances via one MXU contraction per
+    pose: rec rows [x y z 1] x lig columns [-2x -2y -2z (|l|^2+|r|^2?)]
+    cannot carry both norms in rank-4, so use rank-5 augmented factors
+
+        rec_aug = [x, y, z, |r|^2, 1]         (R, 5)
+        lig_aug = [-2x, -2y, -2z, 1, |l|^2]   (P, 5, L)
+
+    whose product is |r|^2 + |l|^2 - 2 r.l per pair (the expansion form;
+    the caller re-centers coordinates so the cancellation error stays
+    small).  Rigid receptor only."""
+    dtype = rec_ref.dtype
+    rec = rec_ref[0]                                      # (R, 3)
+    ones_r = jnp.ones(rec.shape[:1] + (1,), dtype)
+    r2 = jax.lax.dot_general(rec * rec, jnp.ones((3, 1), dtype),
+                             (((1,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=dtype)  # (R, 1)
+    rec_aug = jnp.concatenate([rec, r2, ones_r], axis=1)    # (R, 5)
+    lig = lig_ref[pl.ds(c0, p_block), :, :]                 # (P, 3, L)
+    l2 = (lig * lig).sum(axis=1, keepdims=True)             # (P, 1, L)
+    ones_l = jnp.ones_like(l2)
+    lig_aug = jnp.concatenate([-2.0 * lig, ones_l, l2], axis=1)  # (P, 5, L)
+    return jax.lax.dot_general(
+        jnp.broadcast_to(rec_aug[None], (p_block,) + rec_aug.shape), lig_aug,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype)                       # (P, R, L)
 
 
 def _v2_store_pose_sums(raw_ref, cm, c0, p_block):
@@ -813,6 +851,11 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                     # pair can be inside iface2 (< t_split).
                     store_contrib(d2, in_cut, split, c0)
 
+        def tile_d2(c0):
+            if V2_D2 == "aug" and not rec_per_pose:
+                return _v2_tile_d2_aug(rec_ref, lig_ref, c0, p_block)
+            return _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+
         def chunk_body(c, _):
             if far_bits and split is not None:
                 # Bits-driven far/near split: the near decision comes from
@@ -829,8 +872,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
 
                 @pl.when(is_act & is_near)
                 def _():
-                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
-                                     rec_per_pose)
+                    d2 = tile_d2(c0)
                     in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
                     store_contrib(d2, in_cut, 0, c0)
                     if need_iface:
@@ -840,8 +882,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
 
                 @pl.when(is_act & jnp.logical_not(is_near))
                 def _():
-                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
-                                     rec_per_pose)
+                    d2 = tile_d2(c0)
                     in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
                     store_contrib(d2, in_cut, split, c0)
                 return 0
@@ -849,7 +890,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
             def _():
                 c0 = pl.multiple_of(c * p_block, p_block)
-                d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+                d2 = tile_d2(c0)
                 if not V2_EXACT_GATE:
                     chunk_inner(d2, jnp.min(d2), c0)
                     return

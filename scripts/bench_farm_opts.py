@@ -52,6 +52,18 @@ CONFIGS = {
                   "LIGHTDOCK_V2_POSE_BLOCK": "16"},
     "far_bits_pb32": {"LIGHTDOCK_V2_FAR_BITS": "1",
                       "LIGHTDOCK_V2_POSE_BLOCK": "32"},
+    # round 3: ligand-axis culling (2 ligand tiles at 1ppe instead of 1)
+    "far_bits_l128": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                      "LIGHTDOCK_FARM_LTILE": "128"},
+    "far_bits_pb16_l128": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                           "LIGHTDOCK_V2_POSE_BLOCK": "16",
+                           "LIGHTDOCK_FARM_LTILE": "128"},
+    "far_bits_pb16_aug": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                          "LIGHTDOCK_V2_POSE_BLOCK": "16",
+                          "LIGHTDOCK_V2_D2": "aug"},
+    "far_bits_pb32_aug": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                          "LIGHTDOCK_V2_POSE_BLOCK": "32",
+                          "LIGHTDOCK_V2_D2": "aug"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.
@@ -80,12 +92,14 @@ def worker(s_list) -> int:
                           "dfire")
     g = sim.positions.shape[0]
     params = sim.batch_params(dtype=np.float32)
+    l_tile = os.environ.get("LIGHTDOCK_FARM_LTILE")
     out = {}
     for s in s_list:
         runner = SwarmFarmRunner(params, [sim.positions] * s,
                                  list(range(s)), seed=324324, use_anm=False,
                                  anm_rec=0, anm_lig=0, dtype=jnp.float32,
-                                 output_root=None, energy_mode="pallas")
+                                 output_root=None, energy_mode="pallas",
+                                 l_tile=int(l_tile) if l_tile else None)
         states0 = runner.states
         t0 = time.time()
         runner.run_segmented(STEPS, segment=STEPS)

@@ -295,6 +295,28 @@ def test_pallas_v2_far_bits_parity(monkeypatch, num_anm):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_pallas_v2_aug_d2_parity(monkeypatch):
+    """V2_D2=aug computes d2 as one MXU contraction per pose (expansion
+    form).  Rounding differs from the direct difference, so parity vs XLA
+    is at tolerance; with the fixed seed no pair sits near a bin edge."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=0)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_D2", "aug")
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+    # composes with the bits-driven far split
+    monkeypatch.setattr(pe, "V2_FAR_BITS", True)
+    out2 = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("gate,select,order", [
     (False, "tree", "morton"),   # exact-d2 gate off
     (True, "chain", "morton"),   # serial select chain
