@@ -394,7 +394,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if kernel == "v2":
             # Energy-cutoff bits at pose-chunk granularity (OR over each
             # P-pose chunk); interface bits stay per pose.
-            p_blk = V2_POSE_BLOCK
+            p_blk = (_pe.V2_POSE_BLOCK_DFIRE if method == "dfire"
+                     else _pe.V2_POSE_BLOCK)
             gp = -(-g // p_blk) * p_blk
 
             def chunked(a):

@@ -531,9 +531,12 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 # the latter case, so ANM workloads (1azp/2uuy/1czy) use the same kernel.
 
 
-# Poses per chunk (the kernels' innermost batch unit).  8 is the measured
-# default; env-overridable for A/B measurement (scripts/bench_farm_opts.py).
+# Poses per chunk (the kernels' innermost batch unit); env-overridable for
+# A/B measurement (scripts/bench_farm_opts.py).  DFIRE's measured best is
+# 16 (FARM_r04: 236k->280k aggregate at S=32 with far bits); the elec/vdw
+# kernel keeps the round-2 default 8 (unmeasured at 16).
 V2_POSE_BLOCK = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "8"))
+V2_POSE_BLOCK_DFIRE = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "16"))
 
 # Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
 # minimum d2 proves no pair is nearer than a mid threshold, a shorter
@@ -567,8 +570,9 @@ V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
 # SMEM box-cull bits (computed on the XLA side at a third cutoff) instead
 # of an in-kernel min-d2 reduce — the reduce's vector->scalar dependence
 # measurably serializes the pipeline (KERNEL_r04/FARM_r04: gates cost ~10%)
-# while SMEM bit reads are free.  Default off until measured.
-V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "0") not in (
+# while SMEM bit reads are free.  Default ON: FARM_r04 far_bits_pb16 =
+# 280.5k aggregate poses/s at S=32 vs 218.2k for the round-3 defaults.
+V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "1") not in (
     "0", "", "false", "False")
 
 # d2 computation mode for the v2 kernels: 'diff' (direct difference,
@@ -714,7 +718,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                      rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
     r = pl.program_id(0)
     l = pl.program_id(1)
-    p_block = V2_POSE_BLOCK
+    p_block = V2_POSE_BLOCK_DFIRE
     n_chunks = g_count // p_block
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
@@ -928,7 +932,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     retained (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
-    p_block = V2_POSE_BLOCK
+    p_block = V2_POSE_BLOCK_DFIRE
     gp = -(-g // p_block) * p_block
     dtype = lig_all.dtype
     rec_per_pose = rec_all.shape[0] != 1
