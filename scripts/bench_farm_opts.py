@@ -64,6 +64,11 @@ CONFIGS = {
     "far_bits_pb32_aug": {"LIGHTDOCK_V2_FAR_BITS": "1",
                           "LIGHTDOCK_V2_POSE_BLOCK": "32",
                           "LIGHTDOCK_V2_D2": "aug"},
+    "far_bits_pb64": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "64"},
+    "far_bits_pb32_l128": {"LIGHTDOCK_V2_FAR_BITS": "1",
+                           "LIGHTDOCK_V2_POSE_BLOCK": "32",
+                           "LIGHTDOCK_FARM_LTILE": "128"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.
