@@ -394,7 +394,7 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if kernel == "v2":
             # Energy-cutoff bits at pose-chunk granularity (OR over each
             # P-pose chunk); interface bits stay per pose.
-            p_blk = (_pe.V2_POSE_BLOCK_DFIRE if method == "dfire"
+            p_blk = (_pe.dfire_pose_block(g) if method == "dfire"
                      else _pe.V2_POSE_BLOCK)
             gp = -(-g // p_blk) * p_blk
 
@@ -409,7 +409,7 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                     rec_all, lig, p.dfire_rec_half, p.dfire_lig_onehot,
                     thresholds, act_c, act_iface, interpret=interpret,
                     r_tile=r_tile, l_tile=l_tile, need_iface=need_iface,
-                    near_chunks=near_c)
+                    near_chunks=near_c, p_block=p_blk)
             else:
                 raw, ifr, ifl = elec_vdw_pairs_pallas_v2(
                     rec_all, lig, p.ele_rec, p.ele_lig,

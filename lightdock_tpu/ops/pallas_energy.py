@@ -538,6 +538,17 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 V2_POSE_BLOCK = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "8"))
 V2_POSE_BLOCK_DFIRE = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "16"))
 
+
+def dfire_pose_block(g: int) -> int:
+    """Measured-best DFIRE pose-chunk size for a pose batch of g.
+
+    FARM_r04 (S=32, 6400 poses): block 8 -> 258k, 16 -> 280k, 32 -> 287k
+    aggregate poses/s; small batches keep 16 (less pose padding at
+    G=200).  LIGHTDOCK_V2_POSE_BLOCK overrides both."""
+    if "LIGHTDOCK_V2_POSE_BLOCK" in _os.environ:
+        return V2_POSE_BLOCK_DFIRE
+    return 32 if g >= 1024 else 16
+
 # Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
 # minimum d2 proves no pair is nearer than a mid threshold, a shorter
 # far-only select tree (and a static interface skip) replaces the full
@@ -713,12 +724,11 @@ def dfire_far_split(thresholds):
 
 
 def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
-                     need_iface, rec_per_pose, n_k, far_bits,
+                     need_iface, rec_per_pose, n_k, far_bits, p_block,
                      act_ref, iface_act_ref, near_ref, rec_ref, lig_ref,
                      rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
     r = pl.program_id(0)
     l = pl.program_id(1)
-    p_block = V2_POSE_BLOCK_DFIRE
     n_chunks = g_count // p_block
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
@@ -919,7 +929,8 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                           active_chunks, iface_active,
                           interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
-                          need_iface: bool = True, near_chunks=None):
+                          need_iface: bool = True, near_chunks=None,
+                          p_block: int | None = None):
     """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
 
     rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
@@ -932,7 +943,8 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     retained (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
-    p_block = V2_POSE_BLOCK_DFIRE
+    if p_block is None:
+        p_block = dfire_pose_block(g)
     gp = -(-g // p_block) * p_block
     dtype = lig_all.dtype
     rec_per_pose = rec_all.shape[0] != 1
@@ -964,7 +976,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
 
     kernel = functools.partial(
         _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
-        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits)
+        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block)
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)

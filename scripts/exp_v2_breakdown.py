@@ -49,7 +49,7 @@ def main():
     from lightdock_tpu.engine.gso_jax import device_params
     from lightdock_tpu.ops import quaternion as qt
     from lightdock_tpu.ops.pallas_energy import (L_SUB, R_SUB,
-                                                 V2_POSE_BLOCK_DFIRE,
+                                                 dfire_pose_block,
                                                  cull_mask_boxes,
                                                  dfire_pairs_pallas_v2,
                                                  tile_boxes)
@@ -130,7 +130,7 @@ def main():
             return a.reshape(n_r, rg, n_l, lg_, n).max(axis=(1, 3))
 
         act, act_iface = (coarsen(a) for a in fine)
-        p_blk = V2_POSE_BLOCK_DFIRE
+        p_blk = dfire_pose_block(n)
         gp = -(-n // p_blk) * p_blk
         act_c = jnp.pad(act, ((0, 0), (0, 0), (0, gp - n)))
         act_c = act_c.reshape(n_r, n_l, gp // p_blk, p_blk).max(axis=-1)
