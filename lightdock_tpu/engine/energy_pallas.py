@@ -9,6 +9,7 @@ the same signature as engine.energy_batch.batch_energy.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -187,7 +188,11 @@ def pick_tiles(params: BatchScoringParams, kernel: str = "v2"):
     1.2% at 512), larger on ties (fewer grid steps / block refetches);
     receptor tiles widen to 64 when the receptor is pose-dependent
     (receptor ANM: halves the (G, r_tile, 3) block refetch count —
-    measured 56.8k -> 71.7k poses/s on 1azp).
+    measured 56.8k -> 71.7k poses/s on 1azp).  The widening is elec/vdw
+    -only: the DFIRE kernel's per-tile rec_half channel block and dq
+    scratch already crowd scoped VMEM, and the double-buffered
+    (G, 64, 3) receptor block pushes it past the 16M limit (1czy DFIRE
+    ANM OOMs at r=64 even at pose block 8).
     """
     nl = params.lig_coords.shape[0]
     if kernel == "v1":
@@ -196,7 +201,7 @@ def pick_tiles(params: BatchScoringParams, kernel: str = "v2"):
     l_tile = min(candidates,
                  key=lambda l: (-(-nl // l) * l, -l))
     rec_per_pose = params.use_anm and params.rec_nmodes.shape[0] > 0
-    return (64 if rec_per_pose else 32), l_tile
+    return (64 if rec_per_pose and params.method != "dfire" else 32), l_tile
 
 
 def resolve_kernel(params: BatchScoringParams, kernel: str = "auto") -> str:
@@ -292,6 +297,15 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     rg, lg = r_tile // r_sub, l_tile // l_sub
     rec_centers, rec_half = pad_groups(rec_centers, rec_half, n_r, rg)
     lig_centers, lig_half = pad_groups(lig_centers, lig_half, n_l, lg)
+    # Sub-block bits (ops.pallas_energy.V2_SUB_BITS): keep the energy/near
+    # cull bits at r_sub-row granularity on the receptor axis instead of
+    # OR-reducing them to kernel tiles — the kernel then skips (and
+    # far-classifies) per (r_sub x l_tile) sub-block from the same free
+    # SMEM mechanism.  DFIRE v2 only; needs the cull on and finer sub
+    # boxes to exist.
+    bits_rg = (rg if (_pe.V2_SUB_BITS and kernel == "v2"
+                      and method == "dfire" and cull and rg > 1)
+               else 1)
 
     dtype = np.dtype(params.rec_coords.dtype)
     rc = jnp.asarray(rec_centers, dtype=dtype)
@@ -366,6 +380,18 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
         cuts = ((cutoff, iface_cutoff) if near_cut is None
                 else (cutoff, iface_cutoff, near_cut))
+        # SMEM budget guard for sub-block bits: the packed act (+near) bit
+        # vectors grow bits_rg-fold; fall back to tile bits when the total
+        # prefetch footprint would crowd SMEM (static per trace: g known).
+        brg = bits_rg
+        if brg > 1:
+            p_blk_est = _pe.dfire_pose_block(g)
+            cw = -(-(-(-g // p_blk_est)) // 32)
+            n_bit_arrays = 2 if near_cut is not None else 1
+            smem_bytes = (n_r * brg * n_l * cw * 4 * n_bit_arrays
+                          + n_r * n_l * (-(-g // 32)) * 4)
+            if smem_bytes > 512 * 1024:
+                brg = 1
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
             ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
@@ -374,10 +400,22 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             def coarsen(a):  # OR-reduce sub-boxes to kernel tiles
                 return a.reshape(n_r, rg, n_l, lg, g).max(axis=(1, 3))
 
+            def coarsen_l(a):  # OR-reduce ligand sub-boxes only: the
+                # receptor axis keeps r_sub-row bit granularity
+                return (a.reshape(n_r, rg, n_l, lg, g).max(axis=3)
+                        .reshape(n_r * rg, n_l, g))
+
             coarse = [coarsen(a) for a in fine]
+            if brg > 1:
+                act_sub = coarsen_l(fine[0])
+                near_sub = (coarsen_l(fine[2]) if near_cut is not None
+                            else None)
         else:
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
             coarse = [act] * len(cuts)
+            if brg > 1:
+                act_sub = jnp.ones((n_r * brg, n_l, g), dtype=jnp.int32)
+                near_sub = act_sub if near_cut is not None else None
         act, act_iface = coarse[0], coarse[1]
         near = coarse[2] if near_cut is not None else None
 
@@ -390,6 +428,10 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 # rows may select far bins but are discarded by the
                 # moved-gate where() in energy_fn.
                 near = near * gate
+            if brg > 1:
+                act_sub = act_sub * gate
+                if near_sub is not None:
+                    near_sub = near_sub * gate
 
         if kernel == "v2":
             # Energy-cutoff bits at pose-chunk granularity (OR over each
@@ -400,16 +442,21 @@ def make_pallas_energy_fn(params: BatchScoringParams,
 
             def chunked(a):
                 a = jnp.pad(a, ((0, 0), (0, 0), (0, gp - g)))
-                return a.reshape(n_r, n_l, gp // p_blk, p_blk).max(axis=-1)
+                return a.reshape(a.shape[0], n_l, gp // p_blk,
+                                 p_blk).max(axis=-1)
 
-            act_c = chunked(act)
-            near_c = chunked(near) if near is not None else None
+            if brg > 1:
+                act_c = chunked(act_sub)
+                near_c = chunked(near_sub) if near_sub is not None else None
+            else:
+                act_c = chunked(act)
+                near_c = chunked(near) if near is not None else None
             if method == "dfire":
                 raw, ifr, ifl = dfire_pairs_pallas_v2(
                     rec_all, lig, p.dfire_rec_half, p.dfire_lig_onehot,
                     thresholds, act_c, act_iface, interpret=interpret,
                     r_tile=r_tile, l_tile=l_tile, need_iface=need_iface,
-                    near_chunks=near_c, p_block=p_blk)
+                    near_chunks=near_c, p_block=p_blk, bits_rg=brg)
             else:
                 raw, ifr, ifl = elec_vdw_pairs_pallas_v2(
                     rec_all, lig, p.ele_rec, p.ele_lig,

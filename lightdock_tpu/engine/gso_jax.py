@@ -282,9 +282,12 @@ def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
 # pose-chunked v2 kernels): Pallas beats the fused XLA path at every
 # measured shape and method — 1ppe DFIRE 357k pairs: 127.9k vs 78.2k
 # poses/s; 1azp DNA 554k pairs (ANM): 114.1k vs 84.3k; 1k4c DFIRE 11.15M
-# pairs: Pallas-only territory (the XLA dq tensor is 0.94 GB).  Below
-# ~100k pairs the per-grid-step fixed costs are unmeasured; XLA stays the
-# conservative default there (1czy-sized peptides).
+# pairs: Pallas-only territory (the XLA dq tensor is 0.94 GB).  Below the
+# threshold XLA wins, now measured (SMALL_r04.json, VERDICT r3 item 4):
+# 1czy DFIRE 67.9k pairs (ANM 10+10): XLA 274.6k poses/s vs Pallas
+# 102.3k — the fused XLA path amortizes at tiny sizes while the kernel
+# pays per-grid-step fixed costs.  100k sits inside the measured
+# 68k-357k bracket.
 PALLAS_AUTO_MIN_PAIRS = 100_000
 
 

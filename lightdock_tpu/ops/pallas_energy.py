@@ -586,6 +586,15 @@ V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
 V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "1") not in (
     "0", "", "false", "False")
 
+# Sub-block cull bits: keep the box-cull bits at sub-box granularity on
+# the receptor axis (R_SUB=8 rows per bit instead of one bit per r_tile
+# rows) so the kernel skips/fars at 4x finer granularity with the SAME
+# free SMEM-bit mechanism — no in-kernel reduce (lesson 1), just more
+# scalar bit tests.  Measured in-cutoff activity at 8-row granularity is
+# ~2-3x sparser than at tile granularity (scripts/exp_v2_breakdown.py).
+V2_SUB_BITS = _os.environ.get("LIGHTDOCK_V2_SUB_BITS", "0") not in (
+    "0", "", "false", "False")
+
 # d2 computation mode for the v2 kernels: 'diff' (direct difference,
 # 9 VPU ops/element, exactly the XLA path's rounding) or 'aug' (one
 # augmented-coordinate MXU contraction per pose — offloads the d2
@@ -595,19 +604,24 @@ V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "1") not in (
 V2_D2 = _os.environ.get("LIGHTDOCK_V2_D2", "diff")
 
 
-def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose):
-    """(P, r_tile, l_tile) squared distances for one pose chunk, by direct
+def _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose,
+                row0=0, rows=None):
+    """(P, rows, l_tile) squared distances for one pose chunk, by direct
     difference (exactly the XLA path's rounding; poses on the outer dim,
-    so every broadcast below is native: sublane 1->r_tile for the ligand
+    so every broadcast below is native: sublane 1->rows for the ligand
     rows, lane 1->l_tile for the receptor columns, outer 1->P for a rigid
-    receptor)."""
+    receptor).  ``row0``/``rows`` (static) window the receptor rows so
+    sub-block callers only compute the rows they will use."""
+    if rows is None:
+        rows = rec_ref.shape[1]
     d2 = None
     for cc in range(3):
         lrow = lig_ref[pl.ds(c0, p_block), cc:cc + 1, :]      # (P, 1, L)
         if rec_per_pose:
-            rcol = rec_ref[pl.ds(c0, p_block), :, cc:cc + 1]  # (P, R, 1)
+            rcol = rec_ref[pl.ds(c0, p_block),
+                           row0:row0 + rows, cc:cc + 1]       # (P, rows, 1)
         else:
-            rcol = rec_ref[:, :, cc:cc + 1]                   # (1, R, 1)
+            rcol = rec_ref[:, row0:row0 + rows, cc:cc + 1]    # (1, rows, 1)
         diff = lrow - rcol
         term = diff * diff
         d2 = term if d2 is None else d2 + term
@@ -655,7 +669,8 @@ def _v2_store_pose_sums(raw_ref, cm, c0, p_block):
 
 
 def _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2, r, l, c0,
-              p_block, g_count, n_l_tiles, r_tile, l_tile):
+              p_block, g_count, n_l_tiles, r_tile, l_tile,
+              row0=0, rows=None):
     """Chunk-level interface accumulation.
 
     The per-pose bits are conservative (bit 0 proves the pose has no pair
@@ -664,8 +679,12 @@ def _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2, r, l, c0,
     exact and replaces P masked-onehot RMWs with one aligned (P, 1, L)
     read-max-write for the ligand side (ifl is stored (G, 1, Nl): the
     pose offset lands on the outer dim, the l-offset is 128-aligned).
-    The receptor side keeps the cheap (r_tile, G) masked-onehot RMW per
-    pose (its tile is ~10x smaller than the ligand's)."""
+    The receptor side keeps the cheap (rows, G) masked-onehot RMW per
+    pose (its tile is ~10x smaller than the ligand's).  ``row0``/``rows``
+    (static) window the receptor rows for sub-block callers whose d2 only
+    covers rows [row0, row0+rows) of the tile."""
+    if rows is None:
+        rows = r_tile
     gwords = -(-g_count // 32)
     any_bit = None
     for p in range(p_block):
@@ -674,28 +693,31 @@ def _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2, iface2, r, l, c0,
 
     @pl.when(any_bit)
     def _():
-        close = (d2 <= iface2).astype(d2.dtype)            # (P, R, L)
+        close = (d2 <= iface2).astype(d2.dtype)            # (P, rows, L)
         row = close.max(axis=1, keepdims=True)             # (P, 1, L)
         l_off = pl.multiple_of(l * l_tile, l_tile)
         cur = ifl_ref[pl.ds(c0, p_block), :, pl.ds(l_off, l_tile)]
         ifl_ref[pl.ds(c0, p_block), :, pl.ds(l_off, l_tile)] = (
             jnp.maximum(cur, row))
-        col = close.max(axis=2, keepdims=True)             # (P, R, 1)
-        r_off = pl.multiple_of(r * r_tile, r_tile)
+        col = close.max(axis=2, keepdims=True)             # (P, rows, 1)
+        r_off = pl.multiple_of(r * r_tile + row0, rows)
         for p in range(p_block):
             onehot_row = _pose_onehot_row(c0 + p, g_count, d2.dtype)
-            cur_r = ifr_ref[pl.ds(r_off, r_tile), :]
-            ifr_ref[pl.ds(r_off, r_tile), :] = jnp.maximum(
+            cur_r = ifr_ref[pl.ds(r_off, rows), :]
+            ifr_ref[pl.ds(r_off, rows), :] = jnp.maximum(
                 cur_r, col[p] * onehot_row)
 
 
-def _v2_tile_any(act_ref, n_l_tiles, cwords, r, l):
-    """OR of this tile pair's chunk-activity words (cheap whole-tile skip)."""
+def _v2_tile_any(act_ref, n_l_tiles, cwords, r, l, bits_rg=1):
+    """OR of this tile pair's chunk-activity words (cheap whole-tile skip).
+    With sub-block bits (bits_rg > 1) the tile owns bits_rg bit-rows;
+    all of them are OR'd (a handful of scalar SMEM loads per grid step)."""
     acc = None
-    base = (r * n_l_tiles + l) * cwords
-    for i in range(cwords):
-        w = act_ref[base + i]
-        acc = w if acc is None else (acc | w)
+    for si in range(bits_rg):
+        base = ((r * bits_rg + si) * n_l_tiles + l) * cwords
+        for i in range(cwords):
+            w = act_ref[base + i]
+            acc = w if acc is None else (acc | w)
     return acc != jnp.uint32(0)
 
 
@@ -725,6 +747,7 @@ def dfire_far_split(thresholds):
 
 def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                      need_iface, rec_per_pose, n_k, far_bits, p_block,
+                     bits_rg,
                      act_ref, iface_act_ref, near_ref, rec_ref, lig_ref,
                      rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
     r = pl.program_id(0)
@@ -734,6 +757,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
     dtype = raw_ref.dtype
     iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
     live = dfire_live_channels(thresholds)
+    sub_rows = r_tile // bits_rg
 
     @pl.when((r == 0) & (l == 0))
     def _():
@@ -741,7 +765,7 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         ifr_ref[...] = jnp.zeros_like(ifr_ref)
         ifl_ref[...] = jnp.zeros_like(ifl_ref)
 
-    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l))
+    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l, bits_rg))
     def _():
         # Reconstruct the tile's delta-potential block from the type
         # factorization: exact one-hot selection per channel (HIGHEST),
@@ -870,6 +894,62 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                 return _v2_tile_d2_aug(rec_ref, lig_ref, c0, p_block)
             return _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
 
+        def chunk_body_sub(c, _):
+            """Sub-block-bits chunk body (bits_rg > 1): one act (and near)
+            bit per (sub_rows x l_tile) receptor sub-block per pose chunk,
+            straight from prefetched SMEM — bits_rg-times finer skipping
+            than tile bits with NO in-kernel reduce (lesson 1: scalar bit
+            tests are free, vector->scalar gates are not).  d2 is computed
+            per sub-block inside its own branch, so an inactive sub-block
+            costs only the scalar bit test.  Pose sums accumulate per
+            sub-block (bits_rg RMWs per chunk instead of one), so the f32
+            addition order differs from the tile-level kernel: parity vs
+            XLA is at tolerance, like V2_SUBGATE."""
+            c0 = pl.multiple_of(c * p_block, p_block)
+            for si in range(bits_rg):
+                row0 = si * sub_rows
+                ri = r * bits_rg + si
+                is_act = _active(act_ref, n_l_tiles, cwords, ri, l, c)
+
+                def sub_d2(row0=row0):
+                    return _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                       rec_per_pose, row0, sub_rows)
+
+                if far_bits and split is not None:
+                    is_near = _active(near_ref, n_l_tiles, cwords, ri, l, c)
+
+                    @pl.when(is_act & is_near)
+                    def _(row0=row0, sub_d2=sub_d2):
+                        d2 = sub_d2()
+                        store_contrib(d2, d2 <= C.DFIRE_DIST_CUTOFF2, 0,
+                                      c0, row0)
+                        if need_iface:
+                            _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                      iface2, r, l, c0, p_block, g_count,
+                                      n_l_tiles, r_tile, l_tile,
+                                      row0, sub_rows)
+
+                    @pl.when(is_act & jnp.logical_not(is_near))
+                    def _(row0=row0, sub_d2=sub_d2):
+                        # Near bit 0 PROVES no pair in this sub-block is
+                        # closer than t_split: far-only subtree, identical
+                        # bins, and no pair can be inside iface2.
+                        d2 = sub_d2()
+                        store_contrib(d2, d2 <= C.DFIRE_DIST_CUTOFF2,
+                                      split, c0, row0)
+                else:
+                    @pl.when(is_act)
+                    def _(row0=row0, sub_d2=sub_d2):
+                        d2 = sub_d2()
+                        store_contrib(d2, d2 <= C.DFIRE_DIST_CUTOFF2, 0,
+                                      c0, row0)
+                        if need_iface:
+                            _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                                      iface2, r, l, c0, p_block, g_count,
+                                      n_l_tiles, r_tile, l_tile,
+                                      row0, sub_rows)
+            return 0
+
         def chunk_body(c, _):
             if far_bits and split is not None:
                 # Bits-driven far/near split: the near decision comes from
@@ -922,7 +1002,8 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                     chunk_inner(d2, dmin, c0)
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
+        body = chunk_body_sub if bits_rg > 1 else chunk_body
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
 
 
 def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
@@ -930,17 +1011,19 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                           interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
                           need_iface: bool = True, near_chunks=None,
-                          p_block: int | None = None):
+                          p_block: int | None = None, bits_rg: int = 1):
     """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
 
     rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
     lig_all: (G, 3, Nl) transformed ligand coordinates; rec_half
     (K, Nr, TYPE_PAD) / lig_onehot (TYPE_PAD, Nl): the type-factored
     delta-potential tables (engine.energy_batch.dfire_type_tables);
-    active_chunks: (nR, nL, ceil(G/P)) chunk-granularity cull bits;
-    iface_active: (nR, nL, G) per-pose interface-cutoff bits.  Returns
-    (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with atom padding
-    retained (slice with the true Nr/Nl).
+    active_chunks: (nR*bits_rg, nL, ceil(G/P)) chunk-granularity cull bits
+    (``bits_rg`` bit-rows per receptor kernel tile — sub-block bits when
+    > 1, each covering r_tile/bits_rg receptor rows); iface_active:
+    (nR, nL, G) per-pose interface-cutoff bits (always tile granularity).
+    Returns (raw (G,), iface_rec (G, Nr), iface_lig (G, Nl)) with atom
+    padding retained (slice with the true Nr/Nl).
     """
     g = lig_all.shape[0]
     if p_block is None:
@@ -962,13 +1045,16 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     n_k = rec_half.shape[0]
     type_pad = rec_half.shape[2]
     n_chunks = gp // p_block
-    assert active_chunks.shape == (n_r, n_l, n_chunks), (
-        active_chunks.shape, (n_r, n_l, n_chunks))
+    assert r_tile % bits_rg == 0 and (r_tile // bits_rg) % 8 == 0, (
+        r_tile, bits_rg)
+    assert active_chunks.shape == (n_r * bits_rg, n_l, n_chunks), (
+        active_chunks.shape, (n_r * bits_rg, n_l, n_chunks))
     iface_active = _pad_to(iface_active, 2, p_block, 0)
     assert iface_active.shape == (n_r, n_l, gp)
     far_bits = near_chunks is not None
     if far_bits:
-        assert near_chunks.shape == (n_r, n_l, n_chunks), near_chunks.shape
+        assert near_chunks.shape == (n_r * bits_rg, n_l, n_chunks), (
+            near_chunks.shape)
         near_packed = pack_cull_bits(near_chunks)
     else:
         # Dummy scalar-prefetch word (the kernel never reads it).
@@ -976,7 +1062,8 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
 
     kernel = functools.partial(
         _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
-        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block)
+        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block,
+        bits_rg)
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)

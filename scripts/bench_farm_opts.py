@@ -69,6 +69,17 @@ CONFIGS = {
     "far_bits_pb32_l128": {"LIGHTDOCK_V2_FAR_BITS": "1",
                            "LIGHTDOCK_V2_POSE_BLOCK": "32",
                            "LIGHTDOCK_FARM_LTILE": "128"},
+    # round 4: sub-block bits — act/near bits at 8-receptor-row granularity
+    # (4x finer skipping from SMEM, no in-kernel reduce)
+    "sub_bits_pb32": {"LIGHTDOCK_V2_SUB_BITS": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "32"},
+    "sub_bits_pb16": {"LIGHTDOCK_V2_SUB_BITS": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "sub_bits_pb8": {"LIGHTDOCK_V2_SUB_BITS": "1",
+                     "LIGHTDOCK_V2_POSE_BLOCK": "8"},
+    "sub_bits_pb32_l128": {"LIGHTDOCK_V2_SUB_BITS": "1",
+                           "LIGHTDOCK_V2_POSE_BLOCK": "32",
+                           "LIGHTDOCK_FARM_LTILE": "128"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.

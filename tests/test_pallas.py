@@ -295,6 +295,48 @@ def test_pallas_v2_far_bits_parity(monkeypatch, num_anm):
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.parametrize("num_anm,far_bits", [(0, True), (2, True),
+                                              (0, False)])
+def test_pallas_v2_sub_bits_parity(monkeypatch, num_anm, far_bits):
+    """Sub-block cull bits (V2_SUB_BITS): act/near bits at 8-receptor-row
+    granularity, tested per sub-block from SMEM.  Selected bins are
+    identical; only the f32 pose-sum accumulation ORDER changes (per
+    sub-block instead of per tile), so parity vs XLA is at the standard v2
+    tolerance.  Covers rigid + receptor-ANM and the no-near-bits fallback,
+    plus the moved-gate path and cull/no-cull agreement."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=num_anm)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_SUB_BITS", True)
+    monkeypatch.setattr(pe, "V2_FAR_BITS", far_bits)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    # Culled and uncalled paths must agree exactly (same accumulation
+    # order: the no-cull path also runs per sub-block).
+    full = make_pallas_energy_fn(params, interpret=True, cull=False,
+                                 kernel="v2")(dp, *pose)
+    # cull=False disables sub bits (bits_rg=1), so agreement is at
+    # tolerance only (different accumulation order), not bit-exact.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=5e-5, atol=5e-5)
+    # moved-gate path: unmoved poses pass stored scores through.
+    g = np.asarray(ref).shape[0]
+    rng = np.random.RandomState(11)
+    moved = jnp.asarray(rng.rand(g) < 0.5)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                  kernel="v2")(dp, *pose, moved=moved,
+                                               prev_scoring=prev)
+    m = np.asarray(moved)
+    np.testing.assert_array_equal(np.asarray(gated)[~m], np.asarray(prev)[~m])
+    np.testing.assert_allclose(np.asarray(gated)[m], np.asarray(ref)[m],
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_pallas_v2_aug_d2_parity(monkeypatch):
     """V2_D2=aug computes d2 as one MXU contraction per pose (expansion
     form).  Rounding differs from the direct difference, so parity vs XLA
