@@ -292,6 +292,13 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         split_idx, live = _pe.dfire_far_split(thresholds)
         if split_idx is not None:
             near_cut = float(np.sqrt(thresholds[live[split_idx]]))
+    # Three-way split (V2_FAR2): a fourth cutoff at ~11.5 A yields near2
+    # bits; chunks provably beyond it take a quarter-depth subtree.
+    near2_cut = None
+    if near_cut is not None and _pe.V2_FAR2:
+        s2_idx, _, live = _pe.dfire_far_split2(thresholds)
+        if s2_idx is not None:
+            near2_cut = float(np.sqrt(thresholds[live[s2_idx]]))
     n_r = -(-nr // r_tile)
     n_l = -(-nl // l_tile)
     rg, lg = r_tile // r_sub, l_tile // l_sub
@@ -378,8 +385,11 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         else:
             rec_all = jnp.broadcast_to(rec_base[None], (g, nr, 3))
 
-        cuts = ((cutoff, iface_cutoff) if near_cut is None
-                else (cutoff, iface_cutoff, near_cut))
+        cuts = (cutoff, iface_cutoff)
+        if near_cut is not None:
+            cuts = cuts + (near_cut,)
+            if near2_cut is not None:
+                cuts = cuts + (near2_cut,)
         # SMEM budget guard for sub-block bits: the packed act (+near) bit
         # vectors grow bits_rg-fold; fall back to tile bits when the total
         # prefetch footprint would crowd SMEM (static per trace: g known).
@@ -418,6 +428,7 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 near_sub = act_sub if near_cut is not None else None
         act, act_iface = coarse[0], coarse[1]
         near = coarse[2] if near_cut is not None else None
+        near2 = coarse[3] if len(cuts) > 3 else None
 
         if moved is not None:
             gate = moved.astype(act.dtype)[None, None, :]
@@ -428,6 +439,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 # rows may select far bins but are discarded by the
                 # moved-gate where() in energy_fn.
                 near = near * gate
+            if near2 is not None:
+                near2 = near2 * gate
             if brg > 1:
                 act_sub = act_sub * gate
                 if near_sub is not None:
@@ -445,18 +458,24 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 return a.reshape(a.shape[0], n_l, gp // p_blk,
                                  p_blk).max(axis=-1)
 
+            near2_c = None
             if brg > 1:
                 act_c = chunked(act_sub)
                 near_c = chunked(near_sub) if near_sub is not None else None
+                # far2 is not composed with sub-block bits (sub bits are a
+                # measured loss; keep the matrix small).
             else:
                 act_c = chunked(act)
                 near_c = chunked(near) if near is not None else None
+                if near2 is not None:
+                    near2_c = chunked(near2)
             if method == "dfire":
                 raw, ifr, ifl = dfire_pairs_pallas_v2(
                     rec_all, lig, p.dfire_rec_half, p.dfire_lig_onehot,
                     thresholds, act_c, act_iface, interpret=interpret,
                     r_tile=r_tile, l_tile=l_tile, need_iface=need_iface,
-                    near_chunks=near_c, p_block=p_blk, bits_rg=brg)
+                    near_chunks=near_c, p_block=p_blk, bits_rg=brg,
+                    near2_chunks=near2_c)
             else:
                 raw, ifr, ifl = elec_vdw_pairs_pallas_v2(
                     rec_all, lig, p.ele_rec, p.ele_lig,

@@ -586,6 +586,13 @@ V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
 V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "1") not in (
     "0", "", "false", "False")
 
+# Three-way far split: a FOURTH cull cutoff (~11.5 A) classifies chunks
+# {near, mid, far2} from prefetched SMEM bits; far2 chunks (provably no
+# pair nearer ~11.5 A) take a quarter-depth select subtree.  Same free
+# bit mechanism as V2_FAR_BITS (+18% measured), one more scalar test.
+V2_FAR2 = _os.environ.get("LIGHTDOCK_V2_FAR2", "0") not in (
+    "0", "", "false", "False")
+
 # Sub-block cull bits: keep the box-cull bits at sub-box granularity on
 # the receptor axis (R_SUB=8 rows per bit instead of one bit per r_tile
 # rows) so the kernel skips/fars at 4x finer granularity with the SAME
@@ -745,11 +752,28 @@ def dfire_far_split(thresholds):
     return min(cands, key=lambda m: abs(thresholds[live[m]] - 64.0)), live
 
 
+def dfire_far_split2(thresholds):
+    """The second (far2) split index for the three-way classification:
+    the live-channel index nearest ~11.5 A (132.25 A^2), the geometric
+    midpoint of the ~8 A first split and the 15 A cutoff.  Returns None
+    unless it sits usefully past the first split (>= 2 channels between
+    and >= 2 beyond).  Shared by the kernel and the host cull side."""
+    split, live = dfire_far_split(thresholds)
+    if split is None:
+        return None, split, live
+    cands = [m for m in range(split + 2, len(live) - 2)]
+    if not cands:
+        return None, split, live
+    return (min(cands, key=lambda m: abs(thresholds[live[m]] - 132.25)),
+            split, live)
+
+
 def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                      need_iface, rec_per_pose, n_k, far_bits, p_block,
-                     bits_rg,
-                     act_ref, iface_act_ref, near_ref, rec_ref, lig_ref,
-                     rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref, dq_scr):
+                     bits_rg, far2,
+                     act_ref, iface_act_ref, near_ref, near2_ref, rec_ref,
+                     lig_ref, rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref,
+                     dq_scr):
     r = pl.program_id(0)
     l = pl.program_id(1)
     n_chunks = g_count // p_block
@@ -822,6 +846,9 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         split = None
         if far_bits or (V2_FAR_SPLIT and V2_EXACT_GATE):
             split, _ = dfire_far_split(thresholds)
+        split2 = None
+        if far_bits and far2:
+            split2, _, _ = dfire_far_split2(thresholds)
 
         def store_contrib(d2, in_cut, lo, c0, row0=0):
             contrib = select_fn(d2, lo, len(live), row0).astype(dtype)
@@ -974,11 +1001,32 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
                                   iface2, r, l, c0, p_block, g_count,
                                   n_l_tiles, r_tile, l_tile)
 
-                @pl.when(is_act & jnp.logical_not(is_near))
-                def _():
-                    d2 = tile_d2(c0)
-                    in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
-                    store_contrib(d2, in_cut, split, c0)
+                if split2 is not None:
+                    # Three-way classification: mid chunks (no pair nearer
+                    # t_split, maybe one nearer t_split2) take the half
+                    # subtree; far2 chunks (provably no pair nearer
+                    # t_split2) the quarter subtree.  near=1 implies
+                    # near2=1 by construction (same box test, smaller
+                    # cutoff), so the three branches partition is_act.
+                    is_near2 = _active(near2_ref, n_l_tiles, cwords, r, l, c)
+
+                    @pl.when(is_act & jnp.logical_not(is_near) & is_near2)
+                    def _():
+                        d2 = tile_d2(c0)
+                        store_contrib(d2, d2 <= C.DFIRE_DIST_CUTOFF2,
+                                      split, c0)
+
+                    @pl.when(is_act & jnp.logical_not(is_near2))
+                    def _():
+                        d2 = tile_d2(c0)
+                        store_contrib(d2, d2 <= C.DFIRE_DIST_CUTOFF2,
+                                      split2, c0)
+                else:
+                    @pl.when(is_act & jnp.logical_not(is_near))
+                    def _():
+                        d2 = tile_d2(c0)
+                        in_cut = d2 <= C.DFIRE_DIST_CUTOFF2
+                        store_contrib(d2, in_cut, split, c0)
                 return 0
 
             @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
@@ -1011,7 +1059,8 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                           interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
                           need_iface: bool = True, near_chunks=None,
-                          p_block: int | None = None, bits_rg: int = 1):
+                          p_block: int | None = None, bits_rg: int = 1,
+                          near2_chunks=None):
     """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
 
     rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
@@ -1059,17 +1108,24 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     else:
         # Dummy scalar-prefetch word (the kernel never reads it).
         near_packed = jnp.zeros((1,), jnp.uint32)
+    far2 = far_bits and near2_chunks is not None
+    if far2:
+        assert near2_chunks.shape == (n_r * bits_rg, n_l, n_chunks), (
+            near2_chunks.shape)
+        near2_packed = pack_cull_bits(near2_chunks)
+    else:
+        near2_packed = jnp.zeros((1,), jnp.uint32)
 
     kernel = functools.partial(
         _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
         l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block,
-        bits_rg)
+        bits_rg, far2)
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
     ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_r, n_l),
         in_specs=[
             pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
@@ -1101,7 +1157,7 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
         ],
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
-      near_packed, rec_all, lig_all, rec_half, lig_onehot)
+      near_packed, near2_packed, rec_all, lig_all, rec_half, lig_onehot)
     if not need_iface:
         return raw[:g, 0, 0], None, None
     return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]

@@ -80,6 +80,15 @@ CONFIGS = {
     "sub_bits_pb32_l128": {"LIGHTDOCK_V2_SUB_BITS": "1",
                            "LIGHTDOCK_V2_POSE_BLOCK": "32",
                            "LIGHTDOCK_FARM_LTILE": "128"},
+    # round 4: three-way far split (fourth cutoff ~11.5 A, quarter-depth
+    # subtree for provably-very-far chunks) and receptor tile 64
+    "far2_pb32": {"LIGHTDOCK_V2_FAR2": "1",
+                  "LIGHTDOCK_V2_POSE_BLOCK": "32"},
+    "far_bits_pb32_r64": {"LIGHTDOCK_V2_POSE_BLOCK": "32",
+                          "LIGHTDOCK_FARM_RTILE": "64"},
+    "far2_pb32_r64": {"LIGHTDOCK_V2_FAR2": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "32",
+                      "LIGHTDOCK_FARM_RTILE": "64"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.
@@ -109,13 +118,15 @@ def worker(s_list) -> int:
     g = sim.positions.shape[0]
     params = sim.batch_params(dtype=np.float32)
     l_tile = os.environ.get("LIGHTDOCK_FARM_LTILE")
+    r_tile = os.environ.get("LIGHTDOCK_FARM_RTILE")
     out = {}
     for s in s_list:
         runner = SwarmFarmRunner(params, [sim.positions] * s,
                                  list(range(s)), seed=324324, use_anm=False,
                                  anm_rec=0, anm_lig=0, dtype=jnp.float32,
                                  output_root=None, energy_mode="pallas",
-                                 l_tile=int(l_tile) if l_tile else None)
+                                 l_tile=int(l_tile) if l_tile else None,
+                                 r_tile=int(r_tile) if r_tile else None)
         states0 = runner.states
         t0 = time.time()
         runner.run_segmented(STEPS, segment=STEPS)

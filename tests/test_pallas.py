@@ -337,6 +337,32 @@ def test_pallas_v2_sub_bits_parity(monkeypatch, num_anm, far_bits):
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.parametrize("num_anm", [0, 2])
+def test_pallas_v2_far2_parity(monkeypatch, num_anm):
+    """Three-way far split (V2_FAR2): a fourth cull cutoff classifies
+    chunks {near, mid, far2}; subtree choice never changes WHICH bin a
+    pair selects, so results must equal the two-way far-bits kernel
+    bit-for-bit and match XLA at tolerance."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=num_anm)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_FAR_BITS", True)
+    base = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    monkeypatch.setattr(pe, "V2_FAR2", True)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    # the split indices the kernel and the host cull derive must agree
+    th = np.asarray(params.dfire_thresholds, np.float64)
+    s2, s1, live = pe.dfire_far_split2(tuple(float(x) for x in th))
+    assert s2 is not None and s2 > s1
+
+
 def test_pallas_v2_aug_d2_parity(monkeypatch):
     """V2_D2=aug computes d2 as one MXU contraction per pose (expansion
     form).  Rounding differs from the direct difference, so parity vs XLA
