@@ -81,7 +81,11 @@ def spatial_sort_params(params: BatchScoringParams,
     )
 
 
-V2_MAX_POSES_PER_CALL = 2048
+# Env-overridable for A/B measurement (scripts/bench_farm_opts.py): wider
+# receptor tiles need smaller per-call pose batches to fit the
+# (gp, 3, l_tile) VMEM-resident ligand block.
+V2_MAX_POSES_PER_CALL = int(_os.environ.get(
+    "LIGHTDOCK_V2_MAX_POSES_PER_CALL", "2048"))
 
 
 def pose_chunked_energy(energy_fn, max_chunk: int = V2_MAX_POSES_PER_CALL):
