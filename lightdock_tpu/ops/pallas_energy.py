@@ -566,6 +566,12 @@ V2_FAR_SPLIT = _os.environ.get("LIGHTDOCK_V2_FAR_SPLIT", "0") not in (
 # production configuration.
 V2_EXACT_GATE = _os.environ.get("LIGHTDOCK_V2_EXACT_GATE", "1") not in (
     "0", "", "false", "False")
+# Same knob for the elec/vdw v2 kernel's in-chunk any(d2<=cut) gate.
+# Default OFF: the vector->scalar reduce costs more than the skipped work
+# saves, as in the DFIRE kernel — measured on 1azp DNA (100-step GSO,
+# min-of-3, v5e): gate on 113.4k, gate off 116.9k poses/s (+3.1%).
+V2_EV_EXACT_GATE = _os.environ.get("LIGHTDOCK_V2_EV_EXACT_GATE", "0") not in (
+    "0", "", "false", "False")
 V2_SELECT = _os.environ.get("LIGHTDOCK_V2_SELECT", "tree")
 
 # Sub-block exact gating: within an active chunk-tile, run the selection
@@ -1198,11 +1204,7 @@ def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
                 c0 = pl.multiple_of(c * p_block, p_block)
                 d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
 
-                # Exact-distance gate (see _dfire_kernel_v2): skip the
-                # arithmetic + accumulation when no pair is inside either
-                # cutoff (the box cull is conservative).
-                @pl.when(jnp.any(d2 <= max_cut2))
-                def _():
+                def inner():
                     # Unguarded like the reference (src/dna.rs:481-504):
                     # d2 == 0 -> inf, clamped for elec / NaN through the
                     # vdw inf - inf.
@@ -1220,6 +1222,19 @@ def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
                         _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
                                   C.INTERFACE_CUTOFF2, r, l, c0, p_block,
                                   g_count, n_l_tiles, r_tile, l_tile)
+
+                if V2_EV_EXACT_GATE:
+                    # Exact-distance gate (see _dfire_kernel_v2): skip the
+                    # arithmetic + accumulation when no pair is inside
+                    # either cutoff (the box cull is conservative).  The
+                    # DFIRE kernel measured this vector->scalar reduce as
+                    # a net COST (~10%, KERNEL_r04) and dropped it;
+                    # LIGHTDOCK_V2_EV_EXACT_GATE=0 drops it here too.
+                    @pl.when(jnp.any(d2 <= max_cut2))
+                    def _():
+                        inner()
+                else:
+                    inner()
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)

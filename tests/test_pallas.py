@@ -408,6 +408,25 @@ def test_pallas_v2_measurement_toggles(monkeypatch, gate, select, order):
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.parametrize("method", ["dna", "pydock"])
+def test_pallas_v2_ev_exact_gate_off_parity(monkeypatch, method):
+    """LIGHTDOCK_V2_EV_EXACT_GATE=0 drops the elec/vdw kernel's in-chunk
+    any(d2<=cut) reduce (the DFIRE kernel measured the equivalent as a
+    net cost); results are identical — the gate only skips provably-zero
+    work."""
+    params, pose = _system(method)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    base = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    monkeypatch.setattr(pe, "V2_EV_EXACT_GATE", False)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
 def test_dfire_type_tables_match_dq():
     """The type factorization must reproduce the dq tensor exactly:
     rec_half[k] @ lig_onehot == dfire_dq[k] bit-for-bit (both select the
