@@ -281,7 +281,8 @@ def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
 # Measured on one v5e chip (scripts/bench_1ppe_modes.py, round 2, the
 # pose-chunked v2 kernels): Pallas beats the fused XLA path at every
 # measured shape and method — 1ppe DFIRE 357k pairs: 127.9k vs 78.2k
-# poses/s; 1azp DNA 554k pairs (ANM): 114.1k vs 84.3k; 1k4c DFIRE 11.15M
+# poses/s (165.7k at round-4 defaults, KERNEL_r04); 1azp DNA 554k pairs
+# (ANM): 116.9k vs 84.3k (round 4, ev-gate off); 1k4c DFIRE 11.15M
 # pairs: Pallas-only territory (the XLA dq tensor is 0.94 GB).  Below the
 # threshold XLA wins, now measured (SMALL_r04.json, VERDICT r3 item 4):
 # 1czy DFIRE 67.9k pairs (ANM 10+10): XLA 274.6k poses/s vs Pallas
