@@ -83,12 +83,12 @@ def spatial_sort_params(params: BatchScoringParams,
 
 # Env-overridable for A/B measurement (scripts/bench_farm_opts.py): wider
 # receptor tiles need smaller per-call pose batches to fit the
-# (gp, 3, l_tile) VMEM-resident ligand block.
-V2_MAX_POSES_PER_CALL = int(_os.environ.get(
-    "LIGHTDOCK_V2_MAX_POSES_PER_CALL", "2048"))
+# (gp, 3, l_tile) VMEM-resident ligand block.  Read per call (not frozen
+# at import) so it behaves like the other LIGHTDOCK_V2_* A/B knobs.
+V2_MAX_POSES_PER_CALL_DEFAULT = 2048
 
 
-def pose_chunked_energy(energy_fn, max_chunk: int = V2_MAX_POSES_PER_CALL):
+def pose_chunked_energy(energy_fn, max_chunk: int | None = None):
     """Wrap an energy_fn to process huge pose batches in equal chunks.
 
     The v2 kernels keep the whole (G, 3, l_tile) ligand block VMEM-resident
@@ -100,11 +100,14 @@ def pose_chunked_energy(energy_fn, max_chunk: int = V2_MAX_POSES_PER_CALL):
     semantics)."""
 
     def wrapped(p, t, q, a_rec, a_lig, moved=None, prev_scoring=None):
+        limit = max_chunk if max_chunk is not None else int(_os.environ.get(
+            "LIGHTDOCK_V2_MAX_POSES_PER_CALL",
+            str(V2_MAX_POSES_PER_CALL_DEFAULT)))
         n = t.shape[0]
-        if n <= max_chunk:
+        if n <= limit:
             return energy_fn(p, t, q, a_rec, a_lig, moved=moved,
                              prev_scoring=prev_scoring)
-        n_chunks = -(-n // max_chunk)
+        n_chunks = -(-n // limit)
         chunk = -(-(-(-n // n_chunks)) // 8) * 8   # ceil to a multiple of 8
         pad = n_chunks * chunk - n
 
@@ -425,11 +428,9 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 near_sub = (coarsen_l(fine[2]) if near_cut is not None
                             else None)
         else:
+            assert brg == 1  # bits_rg > 1 requires cull=True at build time
             act = jnp.ones((n_r, n_l, g), dtype=jnp.int32)
             coarse = [act] * len(cuts)
-            if brg > 1:
-                act_sub = jnp.ones((n_r * brg, n_l, g), dtype=jnp.int32)
-                near_sub = act_sub if near_cut is not None else None
         act, act_iface = coarse[0], coarse[1]
         near = coarse[2] if near_cut is not None else None
         near2 = coarse[3] if len(cuts) > 3 else None

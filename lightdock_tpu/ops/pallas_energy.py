@@ -762,8 +762,9 @@ def dfire_far_split2(thresholds):
     """The second (far2) split index for the three-way classification:
     the live-channel index nearest ~11.5 A (132.25 A^2), the geometric
     midpoint of the ~8 A first split and the 15 A cutoff.  Returns None
-    unless it sits usefully past the first split (>= 2 channels between
-    and >= 2 beyond).  Shared by the kernel and the host cull side."""
+    unless it sits usefully past the first split (at least one channel
+    strictly between the two splits, >= 2 channels beyond the second).
+    Shared by the kernel and the host cull side."""
     split, live = dfire_far_split(thresholds)
     if split is None:
         return None, split, live

@@ -13,6 +13,7 @@ from lightdock_tpu.simulation import load_simulation
 from lightdock_tpu.utils.output import format_gso_output
 
 
+@pytest.mark.quick
 def test_1azp_golden_trajectory_jax_engine(reference_dir, tmp_path):
     """The batched device engine itself (float64, CPU backend) must render
     gso_1.out and gso_10.out byte-identically to the shipped goldens —
@@ -34,6 +35,7 @@ def test_1azp_golden_trajectory_jax_engine(reference_dir, tmp_path):
         assert (tmp_path / f"gso_{step}.out").read_text() == golden
 
 
+@pytest.mark.quick
 def test_1ppe_golden_trajectory_dfire(reference_dir, tmp_path):
     """DFIRE end-to-end golden (1ppe, seed 324324, no ANM): byte-identical
     gso_1.out / gso_10.out from the device engine.

@@ -8,6 +8,8 @@ from lightdock_tpu.utils.pdb import parse_pdb
 from lightdock_tpu.utils.positions import parse_positions, parse_swarm_id, split_positions
 from lightdock_tpu.utils.setupfile import SetupFile
 
+pytestmark = pytest.mark.quick
+
 
 def test_parse_pdb_1azp(reference_dir):
     s = parse_pdb(reference_dir / "tests/1azp/1azp_receptor.pdb")

@@ -51,6 +51,7 @@ def _system(method, n_rec=300, n_lig=170, num_anm=2, seed=3, spread=40):
     return params, (jnp.asarray(t), jnp.asarray(q), jnp.asarray(a_r), jnp.asarray(a_l))
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("method,tol", [("dfire", 5e-6), ("dna", 5e-5),
                                         ("pydock", 5e-5)])
 def test_pallas_matches_xla(method, tol):
@@ -196,6 +197,7 @@ def test_bf16_dq_mode_xla_path():
     assert rel < 0.05
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("method", ["dfire", "dna", "pydock"])
 @pytest.mark.parametrize("num_anm", [0, 2])
 def test_pallas_v2_matches_xla(method, num_anm):

@@ -5,6 +5,8 @@ import pytest
 
 from lightdock_tpu.ops import quaternion as qt
 
+pytestmark = pytest.mark.quick
+
 
 def q(w, x, y, z):
     return np.array([w, x, y, z], dtype=np.float64)

@@ -3,8 +3,11 @@
 import math
 
 import numpy as np
+import pytest
 
 from lightdock_tpu.utils.rng import ReferenceRng, uniform_f64_stream
+
+pytestmark = pytest.mark.quick
 
 
 def test_seeded_quaternion_matches_reference():
