@@ -18,7 +18,7 @@ import numpy as np
 from .. import constants as Cst
 from ..ops import pallas_energy as _pe
 from ..ops import quaternion as qt
-from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE, V2_POSE_BLOCK,
+from ..ops.pallas_energy import (L_SUB, L_TILE, R_SUB, R_TILE,
                                  anm_mode_bounds, cull_mask_boxes,
                                  dfire_pairs_pallas, dfire_pairs_pallas_v2,
                                  elec_vdw_pairs_pallas,
@@ -299,10 +299,15 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         split_idx, live = _pe.dfire_far_split(thresholds)
         if split_idx is not None:
             near_cut = float(np.sqrt(thresholds[live[split_idx]]))
+    elif method != "dfire" and kernel == "v2" and _pe.V2_EV_FAR_BITS:
+        # Elec/vdw tier split: near bits at the 10 A vdw reach (the energy
+        # bits run at the 30 A elec cutoff) — far chunks take an elec-only
+        # kernel body (reference src/dna.rs:471-512 has the two cutoffs).
+        near_cut = float(Cst.VDW_DIST_CUTOFF)
     # Three-way split (V2_FAR2): a fourth cutoff at ~11.5 A yields near2
     # bits; chunks provably beyond it take a quarter-depth subtree.
     near2_cut = None
-    if near_cut is not None and _pe.V2_FAR2:
+    if near_cut is not None and method == "dfire" and _pe.V2_FAR2:
         s2_idx, _, live = _pe.dfire_far_split2(thresholds)
         if s2_idx is not None:
             near2_cut = float(np.sqrt(thresholds[live[s2_idx]]))
@@ -455,7 +460,7 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             # Energy-cutoff bits at pose-chunk granularity (OR over each
             # P-pose chunk); interface bits stay per pose.
             p_blk = (_pe.dfire_pose_block(g) if method == "dfire"
-                     else _pe.V2_POSE_BLOCK)
+                     else _pe.ev_pose_block(g))
             gp = -(-g // p_blk) * p_blk
 
             def chunked(a):
@@ -486,7 +491,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                     rec_all, lig, p.ele_rec, p.ele_lig,
                     p.vdw_c_rec, p.vdw_c_lig, p.vdw_r_rec, p.vdw_r_lig,
                     act_c, act_iface, interpret=interpret,
-                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface)
+                    r_tile=r_tile, l_tile=l_tile, need_iface=need_iface,
+                    near_chunks=near_c, p_block=p_blk)
         elif method == "dfire":
             raw, ifr, ifl = dfire_pairs_pallas(
                 rec_all, lig, p.dfire_dq, thresholds, act, act_iface,

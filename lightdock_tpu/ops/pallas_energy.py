@@ -549,6 +549,16 @@ def dfire_pose_block(g: int) -> int:
         return V2_POSE_BLOCK_DFIRE
     return 32 if g >= 1024 else 16
 
+
+def ev_pose_block(g: int) -> int:
+    """Elec/vdw pose-chunk size for a pose batch of g (A/B'd by
+    scripts/bench_farm_opts.py --method dna; see FARM_r05.json).
+    Mirrors dfire_pose_block's g-dependent choice; LIGHTDOCK_V2_POSE_BLOCK
+    overrides."""
+    if "LIGHTDOCK_V2_POSE_BLOCK" in _os.environ:
+        return V2_POSE_BLOCK
+    return 32 if g >= 1024 else 16
+
 # Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
 # minimum d2 proves no pair is nearer than a mid threshold, a shorter
 # far-only select tree (and a static interface skip) replaces the full
@@ -590,6 +600,16 @@ V2_SUBGATE = _os.environ.get("LIGHTDOCK_V2_SUBGATE", "0") not in (
 # while SMEM bit reads are free.  Default ON: FARM_r04 far_bits_pb16 =
 # 280.5k aggregate poses/s at S=32 vs 218.2k for the round-3 defaults.
 V2_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_FAR_BITS", "1") not in (
+    "0", "", "false", "False")
+
+# Elec/vdw analogue of V2_FAR_BITS: a third cull cutoff at the 10 A vdw
+# reach (vs the 30 A elec cutoff driving the energy bits) yields per-chunk
+# "near" bits.  Chunks whose bit is 0 provably have no pair inside the vdw
+# cutoff — they run an elec-only body (skipping the p6 chain, the vdw
+# clamp and the interface accumulation, since 3.9 A iface < 10 A) with no
+# in-kernel reduce.  Same free prefetched-SMEM mechanism that bought the
+# DFIRE kernel +18% (FARM_r04).
+V2_EV_FAR_BITS = _os.environ.get("LIGHTDOCK_V2_EV_FAR_BITS", "1") not in (
     "0", "", "false", "False")
 
 # Three-way far split: a FOURTH cull cutoff (~11.5 A) classifies chunks
@@ -1171,13 +1191,12 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
 
 
 def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
-                        rec_per_pose,
-                        act_ref, iface_act_ref, rec_ref, lig_ref,
+                        rec_per_pose, far_bits, p_block,
+                        act_ref, iface_act_ref, near_ref, rec_ref, lig_ref,
                         qr_ref, ql_ref, vcr_ref, vcl_ref, vrr_ref, vrl_ref,
                         raw_ref, ifr_ref, ifl_ref):
     r = pl.program_id(0)
     l = pl.program_id(1)
-    p_block = V2_POSE_BLOCK
     n_chunks = g_count // p_block
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
@@ -1199,44 +1218,80 @@ def _elec_vdw_kernel_v2(g_count, r_tile, l_tile, n_l_tiles, need_iface,
 
         max_cut2 = max(C.ELEC_DIST_CUTOFF2, C.VDW_DIST_CUTOFF2)
 
-        def chunk_body(c, _):
-            @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
-            def _():
+        def elec_term(d2):
+            # Unguarded like the reference (src/dna.rs:481-504): d2 == 0
+            # -> inf, clamped for elec / NaN through the vdw inf - inf.
+            inv_d2 = 1.0 / d2
+            elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF,
+                            C.ELEC_MAX_CUTOFF)
+            return elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(dtype), inv_d2
+
+        def full_body(c0, d2):
+            elec, inv_d2 = elec_term(d2)
+            p2 = vr2 * inv_d2
+            p6 = p2 * p2 * p2
+            k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
+            k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(dtype)
+            combined = elec * (C.FACTOR / C.EPSILON) + k
+            _v2_store_pose_sums(raw_ref, combined, c0, p_block)
+            if need_iface:
+                _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
+                          C.INTERFACE_CUTOFF2, r, l, c0, p_block,
+                          g_count, n_l_tiles, r_tile, l_tile)
+
+        def elec_only_body(c0, d2):
+            # Near bit 0 PROVES no pair in this chunk-tile is inside the
+            # 10 A vdw cutoff: the vdw term is identically zero (and no
+            # pair can be inside the 3.9 A interface cutoff) — skip the
+            # p6 chain, the clamp and the interface accumulation.
+            elec, _ = elec_term(d2)
+            _v2_store_pose_sums(raw_ref, elec * (C.FACTOR / C.EPSILON),
+                                c0, p_block)
+
+        if far_bits:
+            # Bits-driven vdw/elec tier split (see _dfire_kernel_v2's far
+            # bits): the near decision comes from prefetched SMEM box bits
+            # computed on the XLA side at the vdw cutoff — no in-kernel
+            # vector->scalar reduce serializes the pipeline.
+            def chunk_body(c, _):
                 c0 = pl.multiple_of(c * p_block, p_block)
-                d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block, rec_per_pose)
+                is_act = _active(act_ref, n_l_tiles, cwords, r, l, c)
+                is_near = _active(near_ref, n_l_tiles, cwords, r, l, c)
 
-                def inner():
-                    # Unguarded like the reference (src/dna.rs:481-504):
-                    # d2 == 0 -> inf, clamped for elec / NaN through the
-                    # vdw inf - inf.
-                    inv_d2 = 1.0 / d2
-                    elec = jnp.clip(qq * inv_d2, C.ELEC_MIN_CUTOFF,
-                                    C.ELEC_MAX_CUTOFF)
-                    elec = elec * (d2 <= C.ELEC_DIST_CUTOFF2).astype(dtype)
-                    p2 = vr2 * inv_d2
-                    p6 = p2 * p2 * p2
-                    k = jnp.minimum(ve * (p6 * p6 - 2.0 * p6), C.VDW_CUTOFF)
-                    k = k * (d2 <= C.VDW_DIST_CUTOFF2).astype(dtype)
-                    combined = elec * (C.FACTOR / C.EPSILON) + k
-                    _v2_store_pose_sums(raw_ref, combined, c0, p_block)
-                    if need_iface:
-                        _v2_iface(iface_act_ref, ifr_ref, ifl_ref, d2,
-                                  C.INTERFACE_CUTOFF2, r, l, c0, p_block,
-                                  g_count, n_l_tiles, r_tile, l_tile)
+                @pl.when(is_act & is_near)
+                def _():
+                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                     rec_per_pose)
+                    full_body(c0, d2)
 
-                if V2_EV_EXACT_GATE:
-                    # Exact-distance gate (see _dfire_kernel_v2): skip the
-                    # arithmetic + accumulation when no pair is inside
-                    # either cutoff (the box cull is conservative).  The
-                    # DFIRE kernel measured this vector->scalar reduce as
-                    # a net COST (~10%, KERNEL_r04) and dropped it;
-                    # LIGHTDOCK_V2_EV_EXACT_GATE=0 drops it here too.
-                    @pl.when(jnp.any(d2 <= max_cut2))
-                    def _():
-                        inner()
-                else:
-                    inner()
-            return 0
+                @pl.when(is_act & jnp.logical_not(is_near))
+                def _():
+                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                     rec_per_pose)
+                    elec_only_body(c0, d2)
+                return 0
+        else:
+            def chunk_body(c, _):
+                @pl.when(_active(act_ref, n_l_tiles, cwords, r, l, c))
+                def _():
+                    c0 = pl.multiple_of(c * p_block, p_block)
+                    d2 = _v2_tile_d2(rec_ref, lig_ref, c0, p_block,
+                                     rec_per_pose)
+
+                    if V2_EV_EXACT_GATE:
+                        # Exact-distance gate (see _dfire_kernel_v2): skip
+                        # the arithmetic + accumulation when no pair is
+                        # inside either cutoff (the box cull is
+                        # conservative).  The DFIRE kernel measured this
+                        # vector->scalar reduce as a net COST (~10%,
+                        # KERNEL_r04); LIGHTDOCK_V2_EV_EXACT_GATE=0 (the
+                        # default) drops it here too.
+                        @pl.when(jnp.any(d2 <= max_cut2))
+                        def _():
+                            full_body(c0, d2)
+                    else:
+                        full_body(c0, d2)
+                return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
 
@@ -1246,13 +1301,18 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
                              active_chunks, iface_active,
                              interpret: bool = False,
                              r_tile: int = R_TILE, l_tile: int = L_TILE,
-                             need_iface: bool = True):
+                             need_iface: bool = True, near_chunks=None,
+                             p_block: int | None = None):
     """Raw elec+vdw pair sums + interface flags for G poses (v2 kernel;
     DNA/PYDOCK).  rec_all is (1, Nr, 3) rigid or (G, Nr, 3) with receptor
     ANM; see dfire_pairs_pallas_v2 for the pose-chunk scheme and padding
-    semantics (padded atoms carry zero charges / radius 1 at +-1e6)."""
+    semantics (padded atoms carry zero charges / radius 1 at +-1e6).
+    near_chunks (optional, same shape as active_chunks): per-chunk
+    vdw-cutoff bits — chunks with bit 0 run an elec-only body
+    (V2_EV_FAR_BITS)."""
     g = lig_all.shape[0]
-    p_block = V2_POSE_BLOCK
+    if p_block is None:
+        p_block = ev_pose_block(g)
     gp = -(-g // p_block) * p_block
     dtype = lig_all.dtype
     rec_per_pose = rec_all.shape[0] != 1
@@ -1272,9 +1332,16 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
     n_chunks = gp // p_block
     assert active_chunks.shape == (n_r, n_l, n_chunks)
     iface_active = _pad_to(iface_active, 2, p_block, 0)
+    far_bits = near_chunks is not None
+    if far_bits:
+        assert near_chunks.shape == (n_r, n_l, n_chunks), near_chunks.shape
+        near_packed = pack_cull_bits(near_chunks)
+    else:
+        # Dummy scalar-prefetch word (the kernel never reads it).
+        near_packed = jnp.zeros((1,), jnp.uint32)
 
     kernel = functools.partial(_elec_vdw_kernel_v2, gp, r_tile, l_tile, n_l,
-                               need_iface, rec_per_pose)
+                               need_iface, rec_per_pose, far_bits, p_block)
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
     ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
     col_spec = pl.BlockSpec((r_tile, 1), lambda r, l, *_: (r, 0),
@@ -1282,7 +1349,7 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
     row_spec = pl.BlockSpec((1, l_tile), lambda r, l, *_: (0, l),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_r, n_l),
         in_specs=[
             pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
@@ -1310,7 +1377,7 @@ def elec_vdw_pairs_pallas_v2(rec_all, lig_all, ele_rec, ele_lig,
         ],
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
-      rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
+      near_packed, rec_all, lig_all, qr, ql, vcr, vcl, vrr, vrl)
     if not need_iface:
         return raw[:g, 0, 0], None, None
     return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]

@@ -411,6 +411,40 @@ def test_pallas_v2_measurement_toggles(monkeypatch, gate, select, order):
 
 
 @pytest.mark.parametrize("method", ["dna", "pydock"])
+@pytest.mark.parametrize("num_anm", [0, 2])
+def test_pallas_v2_ev_far_bits_parity(monkeypatch, method, num_anm):
+    """Elec/vdw vdw-tier far bits (V2_EV_FAR_BITS): chunks whose prefetched
+    10 A vdw-cutoff bit is 0 run an elec-only body.  The near bit is
+    conservative, so skipped vdw terms are provably zero and results must
+    equal the bits-off kernel bit-for-bit and match XLA at tolerance."""
+    params, pose = _system(method, num_anm=num_anm)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_EV_FAR_BITS", False)
+    base = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                 kernel="v2")(dp, *pose)
+    monkeypatch.setattr(pe, "V2_EV_FAR_BITS", True)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    # moved-gate path: unmoved poses pass stored scores through even when
+    # their chunk takes the elec-only branch.
+    g = np.asarray(base).shape[0]
+    rng = np.random.RandomState(11)
+    moved = jnp.asarray(rng.rand(g) < 0.5)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                  kernel="v2")(dp, *pose, moved=moved,
+                                               prev_scoring=prev)
+    m = np.asarray(moved)
+    np.testing.assert_array_equal(np.asarray(gated)[~m], np.asarray(prev)[~m])
+    np.testing.assert_allclose(np.asarray(gated)[m], np.asarray(ref)[m],
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("method", ["dna", "pydock"])
 def test_pallas_v2_ev_exact_gate_off_parity(monkeypatch, method):
     """LIGHTDOCK_V2_EV_EXACT_GATE=0 drops the elec/vdw kernel's in-chunk
     any(d2<=cut) reduce (the DFIRE kernel measured the equivalent as a
@@ -419,6 +453,9 @@ def test_pallas_v2_ev_exact_gate_off_parity(monkeypatch, method):
     params, pose = _system(method)
     dp = device_params(params, np.float32)
     ref = batch_energy(dp, *pose, xp=jnp)
+    # Far bits off: the exact gate only exists in the non-far-bits body.
+    monkeypatch.setattr(pe, "V2_EV_FAR_BITS", False)
+    monkeypatch.setattr(pe, "V2_EV_EXACT_GATE", True)
     base = make_pallas_energy_fn(params, interpret=True, cull=True,
                                  kernel="v2")(dp, *pose)
     monkeypatch.setattr(pe, "V2_EV_EXACT_GATE", False)
