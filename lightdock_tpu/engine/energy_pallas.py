@@ -223,17 +223,65 @@ def resolve_kernel(params: BatchScoringParams, kernel: str = "auto") -> str:
     return "v2" if params.dfire_rec_half is not None else "v1"
 
 
+def cull_subsizes(nr: int, nl: int, r_tile: int, l_tile: int):
+    """Cull sub-box granularity for a complex of (nr, nl) atoms.
+
+    The cull test materializes (G, nR_sub, nL_sub, 3) intermediates; at
+    very large complexes sub-box refinement would dwarf the kernel's own
+    memory (8k x 8k: 2.5 GB).  Fall back to kernel-tile granularity when
+    the fine grid would exceed ~2^25 boxes-pairs per pose-batch of 200."""
+    r_sub = R_SUB if r_tile % R_SUB == 0 else r_tile
+    l_sub = L_SUB if l_tile % L_SUB == 0 else l_tile
+    nr_sub = -(-nr // r_sub)
+    nl_sub = -(-nl // l_sub)
+    if nr_sub * nl_sub * 200 > 2 ** 25:
+        r_sub, l_sub = r_tile, l_tile
+    return r_sub, l_sub
+
+
+def _pad_box_groups(centers, half, n_tiles, group):
+    """Pad sub-box arrays so each kernel tile owns exactly ``group``
+    sub-boxes (-inf half-extents never fire)."""
+    need = n_tiles * group
+    pad = need - centers.shape[0]
+    if pad > 0:
+        centers = np.pad(centers, ((0, pad), (0, 0)))
+        half = np.pad(half, ((0, pad), (0, 0)),
+                      constant_values=-np.inf)
+    return centers, half
+
+
+def rec_box_geometry(rec_coords, r_tile: int, r_sub: int):
+    """Receptor cull-box geometry exactly as make_pallas_energy_fn builds
+    it: sub-boxes of ``r_sub`` atoms padded so each kernel tile owns
+    r_tile/r_sub of them.  Used by the atom-sharded path to compute each
+    shard's geometry with identical semantics (parallel.sharded)."""
+    centers, half = tile_boxes(rec_coords, r_sub)
+    n_r = -(-rec_coords.shape[0] // r_tile)
+    return _pad_box_groups(centers, half, n_r, r_tile // r_sub)
+
+
 def make_pallas_energy_fn(params: BatchScoringParams,
                           interpret: bool = False,
                           cull: bool = True,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
-                          kernel: str = "auto"):
+                          kernel: str = "auto",
+                          shard_parts: bool = False,
+                          rec_bounds_override=None):
     """Build energy_fn(params, t, q, a_rec, a_lig) -> (G,) scores.
 
     The returned closure captures only small host-side geometry constants
     (tile bounding spheres, ANM mode bounds, bin thresholds); all large
     tensors flow through the ``params`` pytree argument.  ``kernel``
     selects the Pallas generation (see resolve_kernel).
+
+    ``shard_parts=True`` builds the receptor-atom-sharded variant instead
+    (parallel.sharded.make_pallas_atom_sharded_fns): ``params`` is ONE
+    shard's slice (all shards share its static shapes), the receptor cull
+    boxes become traced *inputs* rather than captured constants, and the
+    returned ``parts_fn(p_loc, rc_loc, rh_loc, t, q, a_rec, a_lig)``
+    returns the pre-collective ``(raw, iface_rec, iface_lig)`` so the
+    caller can psum/pmax across shards before the bias.
     """
     kernel = resolve_kernel(params, kernel)
     method = params.method
@@ -243,28 +291,18 @@ def make_pallas_energy_fn(params: BatchScoringParams,
     # hierarchical rcb order): bounds are OR-reduced to tile granularity
     # in the traced fn.  Sub-box counts are padded so each kernel tile
     # owns exactly (tile/sub) sub-boxes (-inf half-extents never fire).
-    r_sub = R_SUB if r_tile % R_SUB == 0 else r_tile
-    l_sub = L_SUB if l_tile % L_SUB == 0 else l_tile
-    # The cull test materializes (G, nR_sub, nL_sub, 3) intermediates; at
-    # very large complexes sub-box refinement would dwarf the kernel's own
-    # memory (8k x 8k: 2.5 GB).  Fall back to kernel-tile granularity when
-    # the fine grid would exceed ~2^25 boxes-pairs per pose-batch of 200.
-    nr_sub = -(-params.rec_coords.shape[0] // r_sub)
-    nl_sub = -(-params.lig_coords.shape[0] // l_sub)
-    if nr_sub * nl_sub * 200 > 2 ** 25:
-        r_sub, l_sub = r_tile, l_tile
+    r_sub, l_sub = cull_subsizes(nr, nl, r_tile, l_tile)
     rec_centers, rec_half = tile_boxes(params.rec_coords, r_sub)
     lig_centers, lig_half = tile_boxes(params.lig_coords, l_sub)
 
-    def pad_groups(centers, half, n_tiles, group):
-        need = n_tiles * group
-        pad = need - centers.shape[0]
-        if pad > 0:
-            centers = np.pad(centers, ((0, pad), (0, 0)))
-            half = np.pad(half, ((0, pad), (0, 0)),
-                          constant_values=-np.inf)
-        return centers, half
-    rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
+    pad_groups = _pad_box_groups
+    if rec_bounds_override is not None:
+        # Atom-sharded use: the caller passes the FULL receptor's mode
+        # bounds (conservative for every shard) so the cull slack is
+        # identical SPMD code on all shards.
+        rec_bounds = np.asarray(rec_bounds_override)
+    else:
+        rec_bounds = anm_mode_bounds(params.rec_nmodes) if params.use_anm else np.zeros(0)
     lig_bounds = anm_mode_bounds(params.lig_nmodes) if params.use_anm else np.zeros(0)
     cutoff = 15.0 if method == "dfire" else 30.0
     # Interface flags have a far tighter reach than the energy: 2.45 A for
@@ -376,7 +414,10 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                         None)
         return perm[inv]
 
-    def _compute(p: BatchScoringParams, t, q, a_rec, a_lig, moved):
+    def _compute(p: BatchScoringParams, t, q, a_rec, a_lig, moved,
+                 rc_in=None, rh_in=None, return_parts=False):
+        rc_l = rc if rc_in is None else rc_in
+        rh_l = rh if rh_in is None else rh_in
         g = t.shape[0]
         rot = qt.rotation_matrix(q, jnp)                     # (G, 3, 3)
         # Ligand: rotate + translate + ANM, laid out (G, 3, Nl).
@@ -417,7 +458,7 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         if cull:
             rs = pose_slack(a_rec, rec_bounds) if p.use_anm else jnp.zeros(g, dtype)
             ls = pose_slack(a_lig, lig_bounds) if p.use_anm else jnp.zeros(g, dtype)
-            fine = cull_mask_boxes(rc, rh, lc, lh, t, rot, rs, ls, cuts)
+            fine = cull_mask_boxes(rc_l, rh_l, lc, lh, t, rot, rs, ls, cuts)
 
             def coarsen(a):  # OR-reduce sub-boxes to kernel tiles
                 return a.reshape(n_r, rg, n_l, lg, g).max(axis=(1, 3))
@@ -505,6 +546,12 @@ def make_pallas_energy_fn(params: BatchScoringParams,
                 interpret=interpret, r_tile=r_tile, l_tile=l_tile,
                 need_iface=need_iface)
 
+        if return_parts:
+            # Pre-collective parts for the atom-sharded path: raw pair
+            # sums to psum, per-atom interface flags to combine.
+            return (raw,
+                    None if ifr is None else ifr[:, :nr],
+                    None if ifl is None else ifl[:, :nl])
         score = finalize_raw(p, raw)
         if ifr is None:
             # need_iface=False: no restraints, no membrane — the bias is
@@ -512,4 +559,9 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             return score
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)
 
+    if shard_parts:
+        def parts_fn(p_loc, rc_loc, rh_loc, t, q, a_rec, a_lig):
+            return _compute(p_loc, t, q, a_rec, a_lig, None,
+                            rc_in=rc_loc, rh_in=rh_loc, return_parts=True)
+        return parts_fn
     return energy_fn

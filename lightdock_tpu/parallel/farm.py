@@ -286,10 +286,13 @@ def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
     """Run S swarms to completion and write their outputs (CLI entry).
 
     ``n_atom_shards > 1`` additionally shards receptor atoms over the
-    mesh's atoms axis (2-D mesh path, XLA energy only).
+    mesh's atoms axis (2-D mesh path).  ``energy_mode`` 'pallas' routes
+    the sharded energies through the v2 kernels on each shard's receptor
+    slice (parallel.sharded.run_multi_swarm_2d_pallas); 'xla'/'auto' use
+    the batched XLA energy.
     """
     if n_atom_shards > 1:
-        from .sharded import run_multi_swarm_2d
+        from .sharded import run_multi_swarm_2d, run_multi_swarm_2d_pallas
 
         devices = list(devices if devices is not None else jax.devices())
         n_swarm_axis = max(1, min(len(positions_list),
@@ -302,7 +305,15 @@ def run_swarm_farm(params, positions_list: Sequence[np.ndarray],
         states = stack_swarm_states(padded, use_anm, anm_rec, anm_lig, dtype)
         randoms = swarm_randoms(seed, steps, len(padded),
                                 padded[0].shape[0])
-        _, outs = run_multi_swarm_2d(mesh, params, states, randoms)
+        if energy_mode in ("pallas", "pallas_v1"):
+            if energy_mode == "pallas_v1":
+                raise ValueError("atom sharding composes with the v2 "
+                                 "kernels only (energy_mode='pallas')")
+            _, outs = run_multi_swarm_2d_pallas(mesh, params, states,
+                                                randoms, r_tile=r_tile,
+                                                l_tile=l_tile)
+        else:
+            _, outs = run_multi_swarm_2d(mesh, params, states, randoms)
         write_swarm_outputs(outs, swarm_ids, use_anm, steps, output_root,
                             swarm_axis=1, sidecars=True)
         return
