@@ -302,6 +302,29 @@ def pick_energy_mode(params: BatchScoringParams) -> str:
     return "xla"
 
 
+def mixed_precision_energy(energy_fn, state_dtype, energy_dtype):
+    """Wrap an energy_fn to score at ``energy_dtype`` while the swarm
+    state stays at ``state_dtype`` (pose args cast up, result cast back).
+    No-op when the dtypes agree (or energy_dtype is None).  The wrapped
+    fn expects ``params`` already at energy_dtype (GsoJaxRunner uploads
+    them so)."""
+    if energy_dtype is None or jnp.dtype(state_dtype) == jnp.dtype(energy_dtype):
+        return energy_fn
+
+    def wrapped(p, t, q, a_rec, a_lig, moved=None, prev_scoring=None):
+        kw = {}
+        if moved is not None:
+            kw["moved"] = moved
+        if prev_scoring is not None:
+            kw["prev_scoring"] = prev_scoring.astype(energy_dtype)
+        sc = energy_fn(p, t.astype(energy_dtype), q.astype(energy_dtype),
+                       a_rec.astype(energy_dtype),
+                       a_lig.astype(energy_dtype), **kw)
+        return sc.astype(state_dtype)
+
+    return wrapped
+
+
 class GsoJaxRunner:
     """Host wrapper: precomputes the RNG stream, jits the scan, writes
     snapshots in the reference cadence/format."""
@@ -313,7 +336,8 @@ class GsoJaxRunner:
                  energy_mode: str = "xla", cull: bool = True,
                  rng_mode: str = "reference", dq_bf16: bool = False,
                  r_tile: Optional[int] = None, l_tile: Optional[int] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 energy_dtype=None):
         from ..utils.rng import uniform_f64_stream
 
         if interpret is None:
@@ -371,6 +395,16 @@ class GsoJaxRunner:
         else:
             raise ValueError(f"unknown rng_mode {rng_mode!r}")
         self._start_step = 0  # completed steps (for resume)
+        e_dtype = jnp.dtype(energy_dtype) if energy_dtype is not None else None
+        mixed = e_dtype is not None and e_dtype != jnp.dtype(dtype)
+        if mixed:
+            # Mixed-precision scoring (SURVEY §7 precision policy /
+            # PRECISION_r05): swarm state + movement stay at ``dtype``;
+            # the scoring path (params upload + pair energies) runs at
+            # ``energy_dtype``.  On CPU this isolates which precision term
+            # binds the f32 trajectory horizon; params feed nothing but
+            # the energy (movement reads only params.use_anm).
+            self.params = device_params(params, dtype=e_dtype)
         if energy_mode in ("pallas", "pallas_v1"):
             from .energy_pallas import (make_pallas_energy_fn,
                                         pose_chunked_energy)
@@ -379,11 +413,19 @@ class GsoJaxRunner:
                                       r_tile=r_tile, l_tile=l_tile,
                                       interpret=interpret,
                                       kernel=self._pallas_kernel))
+            energy_fn = mixed_precision_energy(energy_fn, dtype, e_dtype)
             self._run_jit = jax.jit(
                 lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
         elif energy_mode == "xla":
-            self._run_jit = functools.partial(
-                run_swarm_jit, energy_chunk=energy_chunk)
+            if mixed:
+                base = functools.partial(batch_energy_chunked,
+                                         chunk=energy_chunk)
+                energy_fn = mixed_precision_energy(base, dtype, e_dtype)
+                self._run_jit = jax.jit(
+                    lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
+            else:
+                self._run_jit = functools.partial(
+                    run_swarm_jit, energy_chunk=energy_chunk)
         else:
             raise ValueError(f"unknown energy_mode {energy_mode!r}")
 

@@ -3,7 +3,7 @@ import os, sys, time
 sys.path.insert(0, '/root/repo')
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4")
+                           + " --xla_force_host_platform_device_count=2")
 import jax
 jax.config.update("jax_platforms", "cpu")
 nproc = int(sys.argv[1]); pid = int(sys.argv[2]); port = sys.argv[3]

@@ -23,7 +23,13 @@ resources are disjoint by construction.  raw_efficiency = T2d / T1 is
 also recorded (it under-reports on a shared 2-core box: the 1-process
 baseline leaves a core free to absorb OS noise).
 
-Writes HOSTSCALING_r03.json at the repo root.
+Round 5 extends the sweep to 4 and 8 processes (VERDICT r4 item 6):
+distributed_efficiency(n) = dist(n)/indep(n) stays meaningful under CPU
+oversubscription because both configurations oversubscribe identically;
+it isolates exactly the jax.distributed + global-mesh overhead that
+would survive on real disjoint hosts.
+
+Writes HOSTSCALING_r05.json at the repo root.
 """
 from __future__ import annotations
 
@@ -36,7 +42,7 @@ import sys
 import textwrap
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-DEVICES_PER_PROC = 4
+DEVICES_PER_PROC = 2
 STEPS = 30
 G = 50
 
@@ -102,7 +108,7 @@ def run_config(n_workers: int, distributed: bool) -> float:
         for pid in range(n_workers)]
     vals = []
     for p in procs:
-        out = p.communicate(timeout=900)[0]
+        out = p.communicate(timeout=2400)[0]
         assert p.returncode == 0, out[-2000:]
         for line in out.splitlines():
             if line.startswith("WORKER_RESULT"):
@@ -115,28 +121,33 @@ def main():
     t1 = run_config(1, distributed=False)
     print(f"1 process   x {DEVICES_PER_PROC} dev:        "
           f"{t1:.0f} poses/s/device", flush=True)
-    t2i = run_config(2, distributed=False)
-    print(f"2 processes x {DEVICES_PER_PROC} dev (indep): "
-          f"{t2i:.0f} poses/s/device", flush=True)
-    t2d = run_config(2, distributed=True)
-    print(f"2 processes x {DEVICES_PER_PROC} dev (dist):  "
-          f"{t2d:.0f} poses/s/device", flush=True)
+    rows = {"1_process": round(t1, 1)}
+    eff = {}
+    for n in (2, 4, 8):
+        ti = run_config(n, distributed=False)
+        print(f"{n} processes x {DEVICES_PER_PROC} dev (indep): "
+              f"{ti:.0f} poses/s/device", flush=True)
+        td = run_config(n, distributed=True)
+        print(f"{n} processes x {DEVICES_PER_PROC} dev (dist):  "
+              f"{td:.0f} poses/s/device", flush=True)
+        rows[f"{n}_independent"] = round(ti, 1)
+        rows[f"{n}_distributed"] = round(td, 1)
+        eff[str(n)] = round(td / ti, 4)
+        print(f"distributed_efficiency({n})={td / ti:.3f}", flush=True)
     artifact = {
         "config": {"devices_per_process": DEVICES_PER_PROC,
                    "swarms_per_device": 2, "glowworms": G, "steps": STEPS,
-                   "backend": "cpu-virtual (2 OS processes, one pinned core "
-                              "per process; 'dist' = one jax.distributed "
-                              "global mesh)"},
-        "per_device_poses_per_s": {"1_process": round(t1, 1),
-                                   "2_independent": round(t2i, 1),
-                                   "2_distributed": round(t2d, 1)},
-        "distributed_efficiency": round(t2d / t2i, 4),
-        "raw_efficiency_vs_1proc": round(t2d / t1, 4),
+                   "backend": "cpu-virtual (n OS processes over 2 pinned "
+                              "cores; 'dist' = one jax.distributed global "
+                              "mesh; indep = same process count, no "
+                              "coordination — the ratio isolates "
+                              "multi-host overhead)"},
+        "per_device_poses_per_s": rows,
+        "distributed_efficiency": eff,
     }
-    out = ROOT / "HOSTSCALING_r03.json"
+    out = ROOT / "HOSTSCALING_r05.json"
     out.write_text(json.dumps(artifact, indent=2) + "\n")
-    print(f"distributed_efficiency={t2d / t2i:.3f} "
-          f"(raw vs 1proc: {t2d / t1:.3f}) -> {out}", flush=True)
+    print(f"-> {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,43 @@ def test_f32_engine_is_close():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_mixed_precision_energy():
+    """energy_dtype (the mixed tier, docs/precision.md): f64 state +
+    f32 scoring tracks the all-f64 run closely for early steps, and the
+    wrapper is a no-op when dtypes agree."""
+    from lightdock_tpu.engine.gso_jax import mixed_precision_energy
+
+    def efn(p, t, q, ar, al, moved=None, prev_scoring=None):
+        return t.sum(axis=1)
+
+    assert mixed_precision_energy(efn, jnp.float32, None) is efn
+    assert mixed_precision_energy(efn, jnp.float32, jnp.float32) is efn
+
+    rng = np.random.RandomState(5)
+    rec, lig = _toy_dfire_models(rng, num_anm=0)
+    params = build_batch_params(rec, lig, use_anm=False,
+                                potential=synthetic_potential())
+    positions = _random_positions(rng, g=16)
+    r64 = GsoJaxRunner(params, positions, seed=7, use_anm=False,
+                       anm_rec=0, anm_lig=0, dtype=jnp.float64)
+    f64, _ = r64.run(3)
+    rmix = GsoJaxRunner(params, positions, seed=7, use_anm=False,
+                        anm_rec=0, anm_lig=0, dtype=jnp.float64,
+                        energy_dtype=jnp.float32)
+    fmix, _ = rmix.run(3)
+    assert np.asarray(fmix.t).dtype == np.float64
+    np.testing.assert_allclose(np.asarray(fmix.t), np.asarray(f64.t),
+                               rtol=1e-3, atol=1e-3)
+    # The other direction: f32 state + f64 scoring.
+    rmix2 = GsoJaxRunner(params, positions, seed=7, use_anm=False,
+                         anm_rec=0, anm_lig=0, dtype=jnp.float32,
+                         energy_dtype=jnp.float64)
+    fmix2, _ = rmix2.run(3)
+    assert np.asarray(fmix2.t).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(fmix2.t), np.asarray(f64.t),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_run_segmented_matches_monolithic(tmp_path):
     """Segmented execution (async device-side chaining) must produce the
     identical trajectory and identical snapshot files."""
