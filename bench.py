@@ -68,6 +68,14 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception as exc:  # noqa: BLE001
         log(f"compilation cache unavailable: {exc!r}")
+    # AOT executable cache (utils.aotcache): jax's persistent cache does
+    # not engage with the axon tunnel plugin; this one serializes whole
+    # compiled executables, so a REPEAT bench process skips the remote
+    # compile entirely (BENCH_r04 paid 1,768 s).  Falls back silently if
+    # the plugin refuses serialization.
+    os.environ.setdefault(
+        "LIGHTDOCK_AOT_CACHE",
+        str(pathlib.Path(__file__).parent / ".aot_cache"))
 
     from lightdock_tpu.engine.gso_jax import GsoJaxRunner
 

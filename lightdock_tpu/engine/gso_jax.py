@@ -405,6 +405,8 @@ class GsoJaxRunner:
             # binds the f32 trajectory horizon; params feed nothing but
             # the energy (movement reads only params.use_anm).
             self.params = device_params(params, dtype=e_dtype)
+        from ..utils.aotcache import AotDispatch, cache_dir_from_env
+        aot_dir = cache_dir_from_env()
         if energy_mode in ("pallas", "pallas_v1"):
             from .energy_pallas import (make_pallas_energy_fn,
                                         pose_chunked_energy)
@@ -414,15 +416,17 @@ class GsoJaxRunner:
                                       interpret=interpret,
                                       kernel=self._pallas_kernel))
             energy_fn = mixed_precision_energy(energy_fn, dtype, e_dtype)
-            self._run_jit = jax.jit(
-                lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
+            self._run_jit = AotDispatch(
+                lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn),
+                label=f"gso-{energy_mode}")
         elif energy_mode == "xla":
-            if mixed:
+            if mixed or aot_dir is not None:
                 base = functools.partial(batch_energy_chunked,
                                          chunk=energy_chunk)
                 energy_fn = mixed_precision_energy(base, dtype, e_dtype)
-                self._run_jit = jax.jit(
-                    lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn))
+                self._run_jit = AotDispatch(
+                    lambda p, s, r: run_swarm(p, s, r, energy_fn=energy_fn),
+                    label="gso-xla")
             else:
                 self._run_jit = functools.partial(
                     run_swarm_jit, energy_chunk=energy_chunk)

@@ -173,7 +173,8 @@ class SwarmFarmRunner:
                                  out_specs=(P(SWARM_AXIS),
                                             P(None, SWARM_AXIS)),
                                  check_vma=False)
-        self._run_jit = jax.jit(seg_body)
+        from ..utils.aotcache import AotDispatch
+        self._run_jit = AotDispatch(seg_body, label=f"farm-{energy_mode}")
 
     # -- checkpoint/resume ---------------------------------------------------
 
