@@ -95,6 +95,23 @@ CONFIGS = {
 SWEEP = {"prod": (8, 32, 64)}
 DEFAULT_S = (32,)
 
+# Round 5 (VERDICT r4 item 2): the 1azp DNA farm — elec/vdw v2 kernel
+# with the new vdw-tier far bits (V2_EV_FAR_BITS) and the pose-block A/B
+# the DFIRE kernel already had.  S=1 uses GsoJaxRunner (comparable with
+# the 116.9k poses/s round-3 number in gso_jax.py); target >=135k.
+DNA_CONFIGS = {
+    "ev_prod": {},
+    "ev_no_far_bits": {"LIGHTDOCK_V2_EV_FAR_BITS": "0"},
+    "ev_pb8": {"LIGHTDOCK_V2_POSE_BLOCK": "8"},
+    "ev_pb16": {"LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "ev_pb32": {"LIGHTDOCK_V2_POSE_BLOCK": "32"},
+    "ev_exact_gate_nobits": {"LIGHTDOCK_V2_EV_FAR_BITS": "0",
+                             "LIGHTDOCK_V2_EV_EXACT_GATE": "1"},
+}
+DNA_SWEEP = {"ev_prod": (1, 8, 32), "ev_no_far_bits": (1, 32),
+             "ev_pb16": (1, 32), "ev_pb32": (1, 32)}
+DNA_DEFAULT_S = (1,)
+
 
 def worker(s_list) -> int:
     import signal
@@ -111,33 +128,60 @@ def worker(s_list) -> int:
     from lightdock_tpu.parallel.farm import SwarmFarmRunner
     from lightdock_tpu.simulation import load_simulation
 
+    example = os.environ.get("FARM_BENCH_EXAMPLE", "1ppe")
+    method = os.environ.get("FARM_BENCH_METHOD", "dfire")
     ex = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE",
-                                     "/root/reference")) / "example/1ppe"
+                                     "/root/reference")) / "example" / example
     sim = load_simulation(ex / "setup.json", ex / "initial_positions_0.dat",
-                          "dfire")
+                          method, anm_dir=ex)
     g = sim.positions.shape[0]
     params = sim.batch_params(dtype=np.float32)
     l_tile = os.environ.get("LIGHTDOCK_FARM_LTILE")
     r_tile = os.environ.get("LIGHTDOCK_FARM_RTILE")
     out = {}
     for s in s_list:
-        runner = SwarmFarmRunner(params, [sim.positions] * s,
-                                 list(range(s)), seed=324324, use_anm=False,
-                                 anm_rec=0, anm_lig=0, dtype=jnp.float32,
-                                 output_root=None, energy_mode="pallas",
-                                 l_tile=int(l_tile) if l_tile else None,
-                                 r_tile=int(r_tile) if r_tile else None)
-        states0 = runner.states
+        if s == 1:
+            from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+            runner = GsoJaxRunner(params, sim.positions, sim.seed,
+                                  sim.use_anm, sim.setup.anm_rec,
+                                  sim.setup.anm_lig, dtype=jnp.float32,
+                                  energy_mode="pallas",
+                                  l_tile=int(l_tile) if l_tile else None,
+                                  r_tile=int(r_tile) if r_tile else None)
+
+            def reset(r=runner):
+                r._start_step = 0
+
+            def fetch(r=runner):
+                np.asarray(r.state.scoring)
+        else:
+            runner = SwarmFarmRunner(params, [sim.positions] * s,
+                                     list(range(s)), seed=324324,
+                                     use_anm=sim.use_anm,
+                                     anm_rec=sim.setup.anm_rec,
+                                     anm_lig=sim.setup.anm_lig,
+                                     dtype=jnp.float32,
+                                     output_root=None, energy_mode="pallas",
+                                     l_tile=int(l_tile) if l_tile else None,
+                                     r_tile=int(r_tile) if r_tile else None)
+            states0 = runner.states
+
+            def reset(r=runner, s0=states0):
+                r._start_step, r.states = 0, s0
+
+            def fetch(r=runner):
+                np.asarray(r.states.scoring)
+
         t0 = time.time()
         runner.run_segmented(STEPS, segment=STEPS)
-        np.asarray(runner.states.scoring)
+        fetch()
         compile_t = time.time() - t0
         best = 1e9
         for _ in range(3):
-            runner._start_step, runner.states = 0, states0
+            reset()
             t0 = time.time()
             runner.run_segmented(STEPS, segment=STEPS)
-            np.asarray(runner.states.scoring)
+            fetch()
             best = min(best, time.time() - t0)
         out[str(s)] = {
             "agg_poses_per_s": round(s * g * STEPS / best, 1),
@@ -151,19 +195,26 @@ def worker(s_list) -> int:
 
 def main() -> int:
     only = None
+    dna = "--dna" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
-    out_name = os.environ.get("FARM_BENCH_OUT", "FARM_r04.json")
+    out_name = os.environ.get("FARM_BENCH_OUT",
+                              "FARM_r05.json" if dna else "FARM_r04.json")
+    configs, sweep, default_s = ((DNA_CONFIGS, DNA_SWEEP, DNA_DEFAULT_S)
+                                 if dna else (CONFIGS, SWEEP, DEFAULT_S))
     prior = {}
     if (ROOT / out_name).exists():
         prior = json.loads((ROOT / out_name).read_text()).get("configs", {})
     results = dict(prior)
-    for name, env_over in CONFIGS.items():
+    for name, env_over in configs.items():
         if only is not None and name not in only:
             continue
-        s_list = SWEEP.get(name, DEFAULT_S)
+        s_list = sweep.get(name, default_s)
         env = dict(os.environ, **env_over)
+        if dna:
+            env.setdefault("FARM_BENCH_EXAMPLE", "1azp")
+            env.setdefault("FARM_BENCH_METHOD", "dna")
         print(f"=== {name} {env_over} S={s_list}", flush=True)
         try:
             out = subprocess.run(
@@ -185,9 +236,11 @@ def main() -> int:
         print(f"{name}: {results[name]}", flush=True)
 
     out_path = ROOT / out_name
+    workload = ("1azp dna farm (elec/vdw v2 + vdw-tier far bits), "
+                f"{STEPS} steps, S=1 via GsoJaxRunner" if dna
+                else f"1ppe dfire farm, {STEPS} steps, pallas v2")
     out_path.write_text(json.dumps(
-        {"workload": f"1ppe dfire farm, {STEPS} steps, pallas v2",
-         "configs": results}, indent=2) + "\n")
+        {"workload": workload, "configs": results}, indent=2) + "\n")
     print(f"wrote {out_path}", flush=True)
     return 0
 

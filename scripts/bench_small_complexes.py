@@ -69,6 +69,63 @@ def bench_single(example, method, anm, modes=("xla", "pallas")):
             f"{g*STEPS/best:,.0f} poses/s (compile {ct:.0f}s)")
 
 
+def bench_crossover(n_rec_list=(700, 1100)):
+    """Pin the XLA/Pallas crossover (VERDICT r4 item 8): truncated-1ppe
+    receptors at ~155k and ~243k pairs bracket PALLAS_AUTO_MIN_PAIRS=100k
+    from inside the round-4 gap (endpoints measured: 68k pairs XLA wins
+    2.7x, 357k Pallas wins).  Real protein geometry (leading receptor
+    atoms), ligand untouched."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lightdock_tpu.engine.gso_jax import GsoJaxRunner
+    from lightdock_tpu.simulation import load_simulation
+
+    ex = "/root/reference/example/1ppe"
+    sim = load_simulation(f"{ex}/setup.json", f"{ex}/initial_positions_0.dat",
+                          "dfire")
+    g = sim.positions.shape[0]
+    out = {}
+    for n_rec in n_rec_list:
+        rec = dataclasses.replace(
+            sim.receptor,
+            coordinates=sim.receptor.coordinates[:n_rec],
+            nmodes=sim.receptor.nmodes[:, :n_rec]
+                if sim.receptor.nmodes.size else sim.receptor.nmodes,
+            atom_types=sim.receptor.atom_types[:n_rec],
+            membrane=sim.receptor.membrane[
+                sim.receptor.membrane < n_rec],
+            active_restraints={
+                k: [i for i in v if i < n_rec]
+                for k, v in sim.receptor.active_restraints.items()},
+        )
+        from lightdock_tpu.engine.energy_batch import build_batch_params
+        from lightdock_tpu.scoring.potentials import synthetic_potential
+        params = build_batch_params(rec, sim.ligand, use_anm=False,
+                                    dtype=np.float32,
+                                    potential=synthetic_potential())
+        n_pairs = n_rec * sim.ligand.num_atoms
+        row = {}
+        for mode in ("xla", "pallas"):
+            runner = GsoJaxRunner(params, sim.positions, sim.seed, False,
+                                  0, 0, dtype=jnp.float32, energy_mode=mode)
+            best, ct = timed_runner(runner, STEPS, g)
+            row[mode] = round(g * STEPS / best, 1)
+            log(f"[x{n_pairs//1000}k] {mode:7s} {g*STEPS/best:,.0f} poses/s "
+                f"(compile {ct:.0f}s)")
+        out[str(n_pairs)] = row
+    import json
+    path = "/root/repo/SMALL_r05.json"
+    prior = {}
+    if os.path.exists(path):
+        prior = json.loads(open(path).read())
+    prior["crossover_truncated_1ppe"] = out
+    with open(path, "w") as fh:
+        json.dump(prior, fh, indent=2)
+    log(f"wrote {path}")
+
+
 def bench_farm32():
     import jax
     import jax.numpy as jnp
@@ -105,4 +162,6 @@ if __name__ == "__main__":
         bench_single("1ppe", "dfire", False)
     if "farm32" in which:
         bench_farm32()
+    if "crossover" in which:
+        bench_crossover()
     log("done")
