@@ -628,6 +628,16 @@ V2_FAR2 = _os.environ.get("LIGHTDOCK_V2_FAR2", "0") not in (
 V2_SUB_BITS = _os.environ.get("LIGHTDOCK_V2_SUB_BITS", "0") not in (
     "0", "", "false", "False")
 
+# Work-list grid (VERDICT r4 item 9): replace the (n_r, n_l) grid with a
+# 1-D grid over a compacted, prefetched list of ACTIVE chunk-tiles
+# (~30% of chunk-tiles are dead at 1ppe, docs/roofline.md) — dead tiles
+# are never scheduled at all instead of being skipped per chunk.
+# DFIRE v2 only, incompatible with sub-block bits.  Accumulation order
+# changes (active tiles first), so parity vs the 2-D kernel is at
+# tolerance.
+V2_WORKLIST = _os.environ.get("LIGHTDOCK_V2_WORKLIST", "0") not in (
+    "0", "", "false", "False")
+
 # d2 computation mode for the v2 kernels: 'diff' (direct difference,
 # 9 VPU ops/element, exactly the XLA path's rounding) or 'aug' (one
 # augmented-coordinate MXU contraction per pose — offloads the d2
@@ -795,29 +805,23 @@ def dfire_far_split2(thresholds):
             split, live)
 
 
-def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
-                     need_iface, rec_per_pose, n_k, far_bits, p_block,
-                     bits_rg, far2,
-                     act_ref, iface_act_ref, near_ref, near2_ref, rec_ref,
-                     lig_ref, rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref,
-                     dq_scr):
-    r = pl.program_id(0)
-    l = pl.program_id(1)
+def _dfire_v2_tile_body(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                        need_iface, rec_per_pose, n_k, far_bits, p_block,
+                        bits_rg, far2, r, l,
+                        act_ref, iface_act_ref, near_ref, near2_ref,
+                        rec_ref, lig_ref, rh_ref, loh_ref, raw_ref,
+                        ifr_ref, ifl_ref, dq_scr):
+    """One active chunk-tile's full DFIRE v2 work — shared by the 2-D
+    grid kernel (r, l from program ids) and the work-list kernel (r, l
+    from prefetched SMEM).  ``if True:`` preserves the original body
+    indentation."""
     n_chunks = g_count // p_block
     cwords = -(-n_chunks // 32)
     dtype = raw_ref.dtype
     iface2 = ((C.INTERFACE_CUTOFF + 1.0) / 2.0) ** 2
     live = dfire_live_channels(thresholds)
     sub_rows = r_tile // bits_rg
-
-    @pl.when((r == 0) & (l == 0))
-    def _():
-        raw_ref[...] = jnp.zeros_like(raw_ref)
-        ifr_ref[...] = jnp.zeros_like(ifr_ref)
-        ifl_ref[...] = jnp.zeros_like(ifl_ref)
-
-    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l, bits_rg))
-    def _():
+    if True:
         # Reconstruct the tile's delta-potential block from the type
         # factorization: exact one-hot selection per channel (HIGHEST),
         # then prefix-sum the channels in ascending order so dq_scr[k]
@@ -1081,13 +1085,75 @@ def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
         jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
 
 
+def _dfire_kernel_v2(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                     need_iface, rec_per_pose, n_k, far_bits, p_block,
+                     bits_rg, far2,
+                     act_ref, iface_act_ref, near_ref, near2_ref, rec_ref,
+                     lig_ref, rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref,
+                     dq_scr):
+    r = pl.program_id(0)
+    l = pl.program_id(1)
+    n_chunks = g_count // p_block
+    cwords = -(-n_chunks // 32)
+
+    @pl.when((r == 0) & (l == 0))
+    def _():
+        raw_ref[...] = jnp.zeros_like(raw_ref)
+        ifr_ref[...] = jnp.zeros_like(ifr_ref)
+        ifl_ref[...] = jnp.zeros_like(ifl_ref)
+
+    @pl.when(_v2_tile_any(act_ref, n_l_tiles, cwords, r, l, bits_rg))
+    def _():
+        _dfire_v2_tile_body(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                            need_iface, rec_per_pose, n_k, far_bits,
+                            p_block, bits_rg, far2, r, l,
+                            act_ref, iface_act_ref, near_ref, near2_ref,
+                            rec_ref, lig_ref, rh_ref, loh_ref, raw_ref,
+                            ifr_ref, ifl_ref, dq_scr)
+
+
+def _dfire_kernel_v2_wl(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                        need_iface, rec_per_pose, n_k, far_bits, p_block,
+                        far2,
+                        act_ref, iface_act_ref, near_ref, near2_ref,
+                        wlr_ref, wll_ref, nact_ref, rec_ref,
+                        lig_ref, rh_ref, loh_ref, raw_ref, ifr_ref, ifl_ref,
+                        dq_scr):
+    """Work-list DFIRE v2 kernel (V2_WORKLIST): a 1-D grid over a
+    prefetched compacted list of ACTIVE chunk-tiles.  Index maps read
+    (r, l) from SMEM, so dead tiles are never scheduled — no block DMA,
+    no loop issue; padding steps alias the last active tile's blocks
+    (same index -> Pallas skips the refetch) and are skipped by the
+    i < n_active gate.  Accumulation order follows list order (active
+    tiles first), so pose sums are tolerance-equal to the 2-D kernel,
+    not bit-identical."""
+    i = pl.program_id(0)
+    r = wlr_ref[i]
+    l = wll_ref[i]
+
+    @pl.when(i == 0)
+    def _():
+        raw_ref[...] = jnp.zeros_like(raw_ref)
+        ifr_ref[...] = jnp.zeros_like(ifr_ref)
+        ifl_ref[...] = jnp.zeros_like(ifl_ref)
+
+    @pl.when(i < nact_ref[0])
+    def _():
+        _dfire_v2_tile_body(thresholds, g_count, r_tile, l_tile, n_l_tiles,
+                            need_iface, rec_per_pose, n_k, far_bits,
+                            p_block, 1, far2, r, l,
+                            act_ref, iface_act_ref, near_ref, near2_ref,
+                            rec_ref, lig_ref, rh_ref, loh_ref, raw_ref,
+                            ifr_ref, ifl_ref, dq_scr)
+
+
 def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
                           active_chunks, iface_active,
                           interpret: bool = False,
                           r_tile: int = R_TILE, l_tile: int = L_TILE,
                           need_iface: bool = True, near_chunks=None,
                           p_block: int | None = None, bits_rg: int = 1,
-                          near2_chunks=None):
+                          near2_chunks=None, worklist: bool | None = None):
     """Raw DFIRE pair sums + interface flags for G poses (v2 kernel).
 
     rec_all: (1, Nr, 3) rigid receptor or (G, Nr, 3) with receptor ANM;
@@ -1143,19 +1209,86 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     else:
         near2_packed = jnp.zeros((1,), jnp.uint32)
 
-    kernel = functools.partial(
-        _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
-        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block,
-        bits_rg, far2)
     # Without interface work the (Nr, G)/(G, Nl) resident accumulators
     # would still cost VMEM (15 MB at 8k x 8k scale) — shrink to dummies.
     ifr_shape = (nr, gp) if need_iface else (8, LANE)
     ifl_shape = (gp, 1, nl) if need_iface else (8, 1, LANE)
+    rec_block = (rec_all.shape[0] if rec_per_pose else 1, r_tile, 3)
+    out_shape = [
+        jax.ShapeDtypeStruct((gp, 1, 1), dtype),
+        jax.ShapeDtypeStruct(ifr_shape, dtype),
+        jax.ShapeDtypeStruct(ifl_shape, dtype),
+    ]
+    scratch = [pltpu.VMEM((n_k, r_tile, l_tile), dtype)]
+
+    use_wl = (V2_WORKLIST if worklist is None else worklist) and bits_rg == 1
+    if use_wl:
+        # Compacted active-tile list: active tiles first (stable, so the
+        # r-major locality survives); padding entries alias the LAST
+        # active tile, so their blocks are already resident and the
+        # i < n_active gate skips the body.
+        nt = n_r * n_l
+        tile_any = (active_chunks > 0).any(axis=2).reshape(nt)
+        order = jnp.argsort(jnp.logical_not(tile_any).astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
+        n_active = tile_any.sum().astype(jnp.int32)
+        wl_r = (order // n_l).astype(jnp.int32)
+        wl_l = (order % n_l).astype(jnp.int32)
+        last = jnp.maximum(n_active - 1, 0)
+        idx = jnp.arange(nt, dtype=jnp.int32)
+        wl_r = jnp.where(idx < n_active, wl_r, wl_r[last])
+        wl_l = jnp.where(idx < n_active, wl_l, wl_l[last])
+        nact = jnp.reshape(n_active, (1,))
+        kernel = functools.partial(
+            _dfire_kernel_v2_wl, tuple(float(t) for t in thresholds), gp,
+            r_tile, l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits,
+            p_block, far2)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec(rec_block,
+                             lambda i, a, b, c, d, wr, wl_, n: (0, wr[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gp, 3, l_tile),
+                             lambda i, a, b, c, d, wr, wl_, n: (0, 0, wl_[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_k, r_tile, type_pad),
+                             lambda i, a, b, c, d, wr, wl_, n: (0, wr[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((type_pad, l_tile),
+                             lambda i, a, b, c, d, wr, wl_, n: (0, wl_[i]),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((gp, 1, 1), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(ifr_shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(ifl_shape, lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=scratch,
+        )
+        raw, ifr, ifl = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
+          near_packed, near2_packed, wl_r, wl_l, nact,
+          rec_all, lig_all, rec_half, lig_onehot)
+        if not need_iface:
+            return raw[:g, 0, 0], None, None
+        return raw[:g, 0, 0], ifr.T[:g], ifl[:g, 0]
+
+    kernel = functools.partial(
+        _dfire_kernel_v2, tuple(float(t) for t in thresholds), gp, r_tile,
+        l_tile, n_l, need_iface, rec_per_pose, n_k, far_bits, p_block,
+        bits_rg, far2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_r, n_l),
         in_specs=[
-            pl.BlockSpec((rec_all.shape[0] if rec_per_pose else 1, r_tile, 3),
+            pl.BlockSpec(rec_block,
                          lambda r, l, *_: (0, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gp, 3, l_tile), lambda r, l, *_: (0, 0, l),
                          memory_space=pltpu.VMEM),
@@ -1172,16 +1305,12 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
             pl.BlockSpec(ifl_shape, lambda r, l, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((n_k, r_tile, l_tile), dtype)],
+        scratch_shapes=scratch,
     )
     raw, ifr, ifl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((gp, 1, 1), dtype),
-            jax.ShapeDtypeStruct(ifr_shape, dtype),
-            jax.ShapeDtypeStruct(ifl_shape, dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(pack_cull_bits(active_chunks), pack_cull_bits(iface_active),
       near_packed, near2_packed, rec_all, lig_all, rec_half, lig_onehot)

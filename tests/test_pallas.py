@@ -466,6 +466,41 @@ def test_pallas_v2_ev_exact_gate_off_parity(monkeypatch, method):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
 
 
+@pytest.mark.parametrize("num_anm", [0, 2])
+def test_pallas_v2_worklist_parity(monkeypatch, num_anm):
+    """Work-list grid (V2_WORKLIST): a 1-D grid over the compacted
+    active-tile list must match XLA at tolerance (accumulation order is
+    list order, so not bit-identical to the 2-D kernel) and honor the
+    moved-gate."""
+    from lightdock_tpu.engine.energy_batch import ensure_dfire_types
+    params, pose = _system("dfire", num_anm=num_anm)
+    params = ensure_dfire_types(params)
+    dp = device_params(params, np.float32)
+    ref = batch_energy(dp, *pose, xp=jnp)
+    monkeypatch.setattr(pe, "V2_WORKLIST", True)
+    out = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                kernel="v2")(dp, *pose)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    g = np.asarray(out).shape[0]
+    rng = np.random.RandomState(13)
+    moved = jnp.asarray(rng.rand(g) < 0.5)
+    prev = jnp.asarray(rng.uniform(-5, 5, g).astype(np.float32))
+    gated = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                  kernel="v2")(dp, *pose, moved=moved,
+                                               prev_scoring=prev)
+    m = np.asarray(moved)
+    np.testing.assert_array_equal(np.asarray(gated)[~m], np.asarray(prev)[~m])
+    np.testing.assert_allclose(np.asarray(gated)[m], np.asarray(ref)[m],
+                               rtol=5e-5, atol=5e-5)
+    # All-unmoved poses: n_active can be 0; outputs must still be the
+    # stored scores (accumulators initialized at grid step 0).
+    allprev = make_pallas_energy_fn(params, interpret=True, cull=True,
+                                    kernel="v2")(
+        dp, *pose, moved=jnp.zeros(g, bool), prev_scoring=prev)
+    np.testing.assert_array_equal(np.asarray(allprev), np.asarray(prev))
+
+
 def test_dfire_type_tables_match_dq():
     """The type factorization must reproduce the dq tensor exactly:
     rec_half[k] @ lig_onehot == dfire_dq[k] bit-for-bit (both select the
