@@ -143,3 +143,42 @@ def test_compiled_dfire_1ppe_shapes():
                                    interpret=True)(dp, *pose)
     np.testing.assert_allclose(np.asarray(compiled), np.asarray(interp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_compiled_worklist_matches_interpret_toy(monkeypatch):
+    """Work-list grid compiled on the chip (scalar-prefetch-driven index
+    maps are exactly the machinery only Mosaic compilation validates)."""
+    _require_tpu()
+    import jax
+
+    from lightdock_tpu.engine.energy_pallas import make_pallas_energy_fn
+    from lightdock_tpu.engine.gso_jax import device_params
+    from lightdock_tpu.ops import pallas_energy as pe
+
+    monkeypatch.setattr(pe, "V2_WORKLIST", True)
+    params, pose = _toy("dfire")
+    dp = device_params(params, np.float32)
+    compiled = jax.jit(make_pallas_energy_fn(params, kernel="v2"))(dp, *pose)
+    interp = make_pallas_energy_fn(params, kernel="v2",
+                                   interpret=True)(dp, *pose)
+    np.testing.assert_allclose(np.asarray(compiled), np.asarray(interp),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_compiled_ev_far_bits_off_matches_default(monkeypatch):
+    """DNA kernel with the vdw-tier far bits toggled off must equal the
+    default (bits-on) kernel bit-for-bit on the chip: the skipped far
+    -chunk vdw work is provably zero."""
+    _require_tpu()
+    import jax
+
+    from lightdock_tpu.engine.energy_pallas import make_pallas_energy_fn
+    from lightdock_tpu.engine.gso_jax import device_params
+    from lightdock_tpu.ops import pallas_energy as pe
+
+    params, pose = _toy("dna")
+    dp = device_params(params, np.float32)
+    on = jax.jit(make_pallas_energy_fn(params, kernel="v2"))(dp, *pose)
+    monkeypatch.setattr(pe, "V2_EV_FAR_BITS", False)
+    off = jax.jit(make_pallas_energy_fn(params, kernel="v2"))(dp, *pose)
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
