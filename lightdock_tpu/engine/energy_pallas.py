@@ -502,6 +502,14 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             # P-pose chunk); interface bits stay per pose.
             p_blk = (_pe.dfire_pose_block(g) if method == "dfire"
                      else _pe.ev_pose_block(g))
+            if (method != "dfire" and rec_anm and r_tile >= 64
+                    and "LIGHTDOCK_V2_POSE_BLOCK" not in _os.environ):
+                # The double-buffered (G, 64, 3) receptor block plus a
+                # 16-pose d2 chunk exceed the 16M scoped-VMEM limit
+                # (measured: 17.2M at 1azp).  r64 keeps the round-4 pose
+                # block 8; wider pose blocks pair with r_tile=32
+                # (FARM_r05 A/B).
+                p_blk = min(p_blk, 8)
             gp = -(-g // p_blk) * p_blk
 
             def chunked(a):

@@ -100,16 +100,23 @@ DEFAULT_S = (32,)
 # the DFIRE kernel already had.  S=1 uses GsoJaxRunner (comparable with
 # the 116.9k poses/s round-3 number in gso_jax.py); target >=135k.
 DNA_CONFIGS = {
+    # defaults resolve to r_tile=64 (receptor ANM) + pose block 8 (the
+    # VMEM guard: r64 + pb16 measured 17.2M > 16M scoped limit)
     "ev_prod": {},
     "ev_no_far_bits": {"LIGHTDOCK_V2_EV_FAR_BITS": "0"},
-    "ev_pb8": {"LIGHTDOCK_V2_POSE_BLOCK": "8"},
-    "ev_pb16": {"LIGHTDOCK_V2_POSE_BLOCK": "16"},
-    "ev_pb32": {"LIGHTDOCK_V2_POSE_BLOCK": "32"},
+    # the r32 family trades the halved receptor-block refetch count for
+    # wider pose chunks (the DFIRE kernel's measured-best direction)
+    "ev_r32_pb8": {"LIGHTDOCK_FARM_RTILE": "32",
+                   "LIGHTDOCK_V2_POSE_BLOCK": "8"},
+    "ev_r32_pb16": {"LIGHTDOCK_FARM_RTILE": "32",
+                    "LIGHTDOCK_V2_POSE_BLOCK": "16"},
+    "ev_r32_pb32": {"LIGHTDOCK_FARM_RTILE": "32",
+                    "LIGHTDOCK_V2_POSE_BLOCK": "32"},
     "ev_exact_gate_nobits": {"LIGHTDOCK_V2_EV_FAR_BITS": "0",
                              "LIGHTDOCK_V2_EV_EXACT_GATE": "1"},
 }
 DNA_SWEEP = {"ev_prod": (1, 8, 32), "ev_no_far_bits": (1, 32),
-             "ev_pb16": (1, 32), "ev_pb32": (1, 32)}
+             "ev_r32_pb16": (1, 32), "ev_r32_pb32": (1, 32)}
 DNA_DEFAULT_S = (1,)
 
 
