@@ -104,7 +104,7 @@ def main() -> int:
     # device->host fetch: block_until_ready can return early on tunneled
     # platforms).
     t0 = time.time()
-    runner._start_step = 0
+    runner.reset()
     final, _ = runner.run_segmented(STEPS, 10)
     np.asarray(final.scoring)
     log(f"compile+first run: {time.time() - t0:.2f}s")
@@ -112,7 +112,7 @@ def main() -> int:
     # Timed runs.
     times = []
     for _ in range(3):
-        runner._start_step = 0
+        runner.reset()
         t0 = time.time()
         final, _ = runner.run_segmented(STEPS, 10)
         np.asarray(final.scoring)
@@ -158,10 +158,9 @@ def aggregate_multiswarm(params, positions, g, n_swarms: int = 32,
                              dtype=jnp.float32, output_root=None,
                              energy_mode=os.environ.get(
                                  "LIGHTDOCK_BENCH_MODE", "auto"))
-    states0 = runner.states
     runner.run_segmented(steps, segment=steps)  # compile + warm-up
     np.asarray(runner.states.scoring)
-    runner._start_step, runner.states = 0, states0
+    runner.reset()
     t0 = time.time()
     runner.run_segmented(steps, segment=steps)
     np.asarray(runner.states.scoring)

@@ -100,9 +100,16 @@ def pose_chunked_energy(energy_fn, max_chunk: int | None = None):
     semantics)."""
 
     def wrapped(p, t, q, a_rec, a_lig, moved=None, prev_scoring=None):
-        limit = max_chunk if max_chunk is not None else int(_os.environ.get(
-            "LIGHTDOCK_V2_MAX_POSES_PER_CALL",
-            str(V2_MAX_POSES_PER_CALL_DEFAULT)))
+        if max_chunk is not None:
+            limit = max_chunk
+        elif "LIGHTDOCK_V2_MAX_POSES_PER_CALL" in _os.environ:
+            limit = int(_os.environ["LIGHTDOCK_V2_MAX_POSES_PER_CALL"])
+        else:
+            # Receptor-ANM kernels carry a (G, r_tile, 3) pose-dependent
+            # receptor block; the factory computes the VMEM-fit pose cap
+            # (measured: 200 poses at r64 compile, 1600 OOM at 100M).
+            limit = getattr(energy_fn, "max_poses_per_call", None
+                            ) or V2_MAX_POSES_PER_CALL_DEFAULT
         n = t.shape[0]
         if n <= limit:
             return energy_fn(p, t, q, a_rec, a_lig, moved=moved,
@@ -567,9 +574,21 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             return score
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)
 
+    # VMEM-fit pose cap for pose_chunked_energy: with receptor ANM the v2
+    # kernels keep a (G, r_tile, 3) receptor block resident per grid
+    # column — 200 poses at r_tile=64 is the measured compile fit on v5e
+    # (16M scoped VMEM); 1600 poses (an S=8 farm batch) OOMs at 100M.
+    # Rigid receptors share one (1, r_tile, 3) block and keep the large
+    # default.
+    max_poses = None
+    if rec_anm and kernel == "v2":
+        max_poses = max(64, int(200 * 64 / r_tile) // 8 * 8)
+
     if shard_parts:
         def parts_fn(p_loc, rc_loc, rh_loc, t, q, a_rec, a_lig):
             return _compute(p_loc, t, q, a_rec, a_lig, None,
                             rc_in=rc_loc, rh_in=rh_loc, return_parts=True)
+        parts_fn.max_poses_per_call = max_poses
         return parts_fn
+    energy_fn.max_poses_per_call = max_poses
     return energy_fn

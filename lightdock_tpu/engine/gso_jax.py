@@ -395,6 +395,7 @@ class GsoJaxRunner:
         else:
             raise ValueError(f"unknown rng_mode {rng_mode!r}")
         self._start_step = 0  # completed steps (for resume)
+        self._initial_state = self.state  # for reset() (bench repeats)
         e_dtype = jnp.dtype(energy_dtype) if energy_dtype is not None else None
         mixed = e_dtype is not None and e_dtype != jnp.dtype(dtype)
         if mixed:
@@ -405,6 +406,12 @@ class GsoJaxRunner:
             # binds the f32 trajectory horizon; params feed nothing but
             # the energy (movement reads only params.use_anm).
             self.params = device_params(params, dtype=e_dtype)
+            if dq_bf16 and self.params.dfire_dq is not None:
+                # Re-apply the bf16 dq compression the earlier upload did
+                # (this re-upload would otherwise silently discard it).
+                self.params = dataclasses.replace(
+                    self.params,
+                    dfire_dq=jnp.asarray(self.params.dfire_dq, jnp.bfloat16))
         from ..utils.aotcache import AotDispatch, cache_dir_from_env
         aot_dir = cache_dir_from_env()
         if energy_mode in ("pallas", "pallas_v1"):
@@ -475,6 +482,13 @@ class GsoJaxRunner:
             num_neighbors=jnp.asarray(nn, dtype=jnp.int32),
         )
         self._start_step = int(step)
+
+    def reset(self) -> None:
+        """Rewind to the initial swarm state (bench repeats must restart
+        the trajectory: a converged swarm has fewer moved poses, so the
+        rescoring gate would make re-timed segments optimistically fast)."""
+        self._start_step = 0
+        self.state = self._initial_state
 
     def run(self, steps: int):
         g = self.state.t.shape[0]

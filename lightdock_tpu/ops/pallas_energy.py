@@ -535,29 +535,24 @@ def elec_vdw_pairs_pallas(rec_all, lig_all, ele_rec, ele_lig,
 # A/B measurement (scripts/bench_farm_opts.py).  DFIRE's measured best is
 # 16 (FARM_r04: 236k->280k aggregate at S=32 with far bits); the elec/vdw
 # kernel keeps the round-2 default 8 (unmeasured at 16).
-V2_POSE_BLOCK = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "8"))
 V2_POSE_BLOCK_DFIRE = int(_os.environ.get("LIGHTDOCK_V2_POSE_BLOCK", "16"))
 
 
 def dfire_pose_block(g: int) -> int:
-    """Measured-best DFIRE pose-chunk size for a pose batch of g.
+    """Measured-best v2 pose-chunk size for a pose batch of g.
 
     FARM_r04 (S=32, 6400 poses): block 8 -> 258k, 16 -> 280k, 32 -> 287k
     aggregate poses/s; small batches keep 16 (less pose padding at
-    G=200).  LIGHTDOCK_V2_POSE_BLOCK overrides both."""
+    G=200).  LIGHTDOCK_V2_POSE_BLOCK overrides."""
     if "LIGHTDOCK_V2_POSE_BLOCK" in _os.environ:
         return V2_POSE_BLOCK_DFIRE
     return 32 if g >= 1024 else 16
 
 
-def ev_pose_block(g: int) -> int:
-    """Elec/vdw pose-chunk size for a pose batch of g (A/B'd by
-    scripts/bench_farm_opts.py --method dna; see FARM_r05.json).
-    Mirrors dfire_pose_block's g-dependent choice; LIGHTDOCK_V2_POSE_BLOCK
-    overrides."""
-    if "LIGHTDOCK_V2_POSE_BLOCK" in _os.environ:
-        return V2_POSE_BLOCK
-    return 32 if g >= 1024 else 16
+# The elec/vdw kernel uses the same g-dependent choice (A/B'd by
+# scripts/bench_farm_opts.py --dna; the engine additionally caps the
+# pose block at 8 under receptor-ANM r_tile=64, which is VMEM-bound).
+ev_pose_block = dfire_pose_block
 
 # Far/near tournament split (see _dfire_kernel_v2): when a chunk-tile's
 # minimum d2 proves no pair is nearer than a mid threshold, a shorter

@@ -154,6 +154,7 @@ class SwarmFarmRunner:
         self.states = shard_swarm_states(
             self.mesh,
             stack_swarm_states(self._padded, use_anm, anm_rec, anm_lig, dtype))
+        self._initial_states = self.states
         self._randoms_sharding = jax.sharding.NamedSharding(
             self.mesh, P(None, SWARM_AXIS))
 
@@ -177,6 +178,11 @@ class SwarmFarmRunner:
         self._run_jit = AotDispatch(seg_body, label=f"farm-{energy_mode}")
 
     # -- checkpoint/resume ---------------------------------------------------
+
+    def reset(self) -> None:
+        """Rewind every swarm to its initial state (see GsoJaxRunner.reset)."""
+        self._start_step = 0
+        self.states = self._initial_states
 
     def resume_latest(self) -> int:
         """Resume the farm from snapshots (full-precision sidecars).

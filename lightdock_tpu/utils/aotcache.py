@@ -66,28 +66,34 @@ def compile_cached(lowered, cache_dir, label: str = "fn"):
     if path.exists():
         try:
             with open(path, "rb") as fh:
-                payload, in_tree, out_tree, n_dev = pickle.load(fh)
-            # The executable must load onto exactly as many devices as it
-            # was compiled for; the default (all local devices) breaks
-            # single-device programs on multi-device hosts (the virtual
-            # 8-CPU test mesh, future multi-chip runs).
+                payload, in_tree, out_tree, dev_ids = pickle.load(fh)
+            # The executable must load onto exactly the devices it was
+            # compiled for — resolved by recorded device id, not by
+            # position (a runner pinned to devices[2:3] or a
+            # jax.distributed worker would otherwise load onto the wrong
+            # chips); a missing id raises -> load-failed -> recompile.
+            by_id = {d.id: d for d in jax.devices()}
             compiled = se.deserialize_and_load(
                 payload, in_tree, out_tree,
-                execution_devices=jax.devices()[:n_dev])
+                execution_devices=[by_id[i] for i in dev_ids])
             log.info("AOT cache hit: %s", path.name)
             return compiled, "hit"
         except Exception as e:  # noqa: BLE001 - any load failure -> compile
-            log.warning("AOT cache load failed (%s); recompiling", e)
-            compiled = lowered.compile()
+            log.warning("AOT cache load failed (%s); replacing entry", e)
+            try:
+                path.unlink()  # a corrupt/stale entry never repairs itself
+            except OSError:
+                pass
+            compiled, status = compile_cached(lowered, cache_dir, label)
             return compiled, "load-failed"
     compiled = lowered.compile()
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         xe = compiled._params.executable.xla_executable
-        n_dev = len(xe.local_devices())
+        dev_ids = [d.id for d in xe.local_devices()]
         fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
         with os.fdopen(fd, "wb") as fh:
-            pickle.dump((payload, in_tree, out_tree, n_dev), fh)
+            pickle.dump((payload, in_tree, out_tree, dev_ids), fh)
         os.replace(tmp, path)  # atomic: concurrent processes race safely
         log.info("AOT cache store: %s (%d bytes)", path.name, len(payload))
         return compiled, "miss"
@@ -124,4 +130,13 @@ class AotDispatch:
             entry, status = compile_cached(lowered, self._dir, self._label)
             self.stats.append(status)
             self._compiled[sig] = entry
-        return entry(*args)
+        try:
+            return entry(*args)
+        except Exception as e:  # noqa: BLE001 - e.g. sharding/device
+            # mismatch a cache hit could not detect at load time: fall
+            # back to the plain jit path permanently for this signature.
+            log.warning("AOT executable call failed (%s); falling back to "
+                        "jit dispatch", e)
+            self.stats.append("call-failed")
+            self._compiled[sig] = self._jit
+            return self._jit(*args)

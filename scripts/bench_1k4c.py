@@ -108,14 +108,14 @@ def main() -> int:
                           anm_rec=0, anm_lig=0, dtype=jnp.float32, **kw)
 
     t0 = time.time()
-    runner._start_step = 0
+    runner.reset()
     final, _ = runner.run(args.steps)
     np.asarray(final.scoring)
     log(f"compile+first run ({args.steps} steps): {time.time() - t0:.2f}s")
 
     times = []
     for _ in range(args.repeats):
-        runner._start_step = 0
+        runner.reset()
         t0 = time.time()
         final, _ = runner.run(args.steps)
         np.asarray(final.scoring)

@@ -82,7 +82,7 @@ def main():
         log(f"[{mode}] compile+first: {time.time() - t0:.2f}s")
         times = []
         for _ in range(args.runs):
-            runner._start_step = 0
+            runner.reset()
             t0 = time.time()
             runner.run_segmented(args.steps, 10)
             np.asarray(runner.state.scoring)

@@ -99,7 +99,7 @@ def main():
     np.asarray(runner.state.scoring)
     log(f"compile+first {args.steps} steps: {time.time() - t0:.2f}s")
 
-    runner._start_step = 0
+    runner.reset()
     t0 = time.time()
     runner.run_segmented(args.steps, args.steps)
     sc = np.asarray(runner.state.scoring)

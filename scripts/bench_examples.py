@@ -31,7 +31,7 @@ REFERENCE = pathlib.Path(os.environ.get("LIGHTDOCK_REFERENCE",
                                         "/root/reference"))
 OUT = ROOT / "EXAMPLES_r05.json"
 
-# (method, use_anm, steps, reference wall-clock seconds for 200x100)
+# name -> (method, reference wall-clock seconds for 200x100, steps)
 EXAMPLES = {
     "1ppe": ("dfire", 4.252, 100),
     "2uuy": ("dfire", 8.108, 100),
@@ -70,7 +70,7 @@ def bench_one(name: str) -> dict:
                           dtype=jnp.float32, energy_mode=mode)
 
     def once():
-        runner._start_step = 0
+        runner.reset()
         t0 = time.time()
         runner.run_segmented(steps, 10)
         np.asarray(runner.state.scoring)

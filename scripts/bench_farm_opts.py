@@ -157,7 +157,7 @@ def worker(s_list) -> int:
                                   r_tile=int(r_tile) if r_tile else None)
 
             def reset(r=runner):
-                r._start_step = 0
+                r.reset()
 
             def fetch(r=runner):
                 np.asarray(r.state.scoring)
@@ -173,8 +173,8 @@ def worker(s_list) -> int:
                                      r_tile=int(r_tile) if r_tile else None)
             states0 = runner.states
 
-            def reset(r=runner, s0=states0):
-                r._start_step, r.states = 0, s0
+            def reset(r=runner):
+                r.reset()
 
             def fetch(r=runner):
                 np.asarray(r.states.scoring)

@@ -65,13 +65,13 @@ def worker() -> int:
                           sim.seed, False, 0, 0, dtype=jnp.float32,
                           energy_mode="pallas")
     t0 = time.time()
-    runner._start_step = 0
+    runner.reset()
     final, _ = runner.run_segmented(STEPS, 10)
     np.asarray(final.scoring)
     compile_t = time.time() - t0
     best = 1e9
     for _ in range(3):
-        runner._start_step = 0
+        runner.reset()
         t0 = time.time()
         final, _ = runner.run_segmented(STEPS, 10)
         np.asarray(final.scoring)

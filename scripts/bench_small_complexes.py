@@ -27,7 +27,7 @@ def log(*a):
 
 def timed_runner(runner, steps, g, n_swarms=1):
     import jax
-    runner._start_step = 0
+    runner.reset()
     t0 = time.time()
     runner.run_segmented(steps, 10)
     np.asarray(jax.tree_util.tree_leaves(runner.state
@@ -36,7 +36,7 @@ def timed_runner(runner, steps, g, n_swarms=1):
     compile_t = time.time() - t0
     best = 1e9
     for _ in range(3):
-        runner._start_step = 0
+        runner.reset()
         t0 = time.time()
         runner.run_segmented(steps, 10)
         np.asarray(jax.tree_util.tree_leaves(
