@@ -89,6 +89,9 @@ CONFIGS = {
     "far2_pb32_r64": {"LIGHTDOCK_V2_FAR2": "1",
                       "LIGHTDOCK_V2_POSE_BLOCK": "32",
                       "LIGHTDOCK_FARM_RTILE": "64"},
+    # round 5 (VERDICT r4 item 9): work-list grid at farm scale
+    "worklist_pb32": {"LIGHTDOCK_V2_WORKLIST": "1",
+                      "LIGHTDOCK_V2_POSE_BLOCK": "32"},
 }
 # Swarm counts per config: the S sweep only for prod (compiles are ~5-8
 # min each through the tunnel); toggles are A/B'd at the target S=32.

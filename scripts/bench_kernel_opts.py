@@ -38,6 +38,9 @@ CONFIGS = {
     "no_exact_gate": {"LIGHTDOCK_V2_EXACT_GATE": "0"},
     "chain_select": {"LIGHTDOCK_V2_SELECT": "chain"},
     "far_split": {"LIGHTDOCK_V2_FAR_SPLIT": "1"},
+    # round 5 (VERDICT r4 item 9): 1-D grid over the compacted active
+    # -tile list — dead tiles never scheduled (vs per-chunk bit skips)
+    "worklist": {"LIGHTDOCK_V2_WORKLIST": "1"},
 }
 
 
@@ -112,7 +115,8 @@ def main() -> int:
             if "poses_per_s" in r:
                 r["delta_vs_prod_pct"] = round(
                     100.0 * (r["poses_per_s"] - prod) / prod, 2)
-    out_path = ROOT / "KERNEL_r04.json"
+    out_path = ROOT / os.environ.get("KERNEL_BENCH_OUT",
+                                     "KERNEL_r04.json")
     out_path.write_text(json.dumps(
         {"workload": "1ppe dfire, 200 glowworms, 100 steps, pallas v2",
          "configs": results}, indent=2) + "\n")
