@@ -109,9 +109,11 @@ def main() -> int:
     np.asarray(final.scoring)
     log(f"compile+first run: {time.time() - t0:.2f}s")
 
-    # Timed runs.
+    # Timed runs (min-of-5: the tunnel adds multi-10% jitter on occasion —
+    # KERNEL_r05 measured 0.124 s for a program bench.py saw at 0.156 s
+    # minutes earlier).
     times = []
-    for _ in range(3):
+    for _ in range(5):
         runner.reset()
         t0 = time.time()
         final, _ = runner.run_segmented(STEPS, 10)
