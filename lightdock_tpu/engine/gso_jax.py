@@ -278,28 +278,33 @@ def run_swarm_jit(params, state, randoms, energy_chunk: int = 0):
 # -- host-facing runner -----------------------------------------------------
 
 
-# Measured on one v5e chip (scripts/bench_1ppe_modes.py, round 2, the
-# pose-chunked v2 kernels): Pallas beats the fused XLA path at every
-# measured shape and method — 1ppe DFIRE 357k pairs: 127.9k vs 78.2k
-# poses/s (165.7k at round-4 defaults, KERNEL_r04); 1azp DNA 554k pairs
-# (ANM): 116.9k vs 84.3k (round 4, ev-gate off); 1k4c DFIRE 11.15M
-# pairs: Pallas-only territory (the XLA dq tensor is 0.94 GB).  Below the
-# threshold XLA wins, now measured (SMALL_r04.json, VERDICT r3 item 4):
-# 1czy DFIRE 67.9k pairs (ANM 10+10): XLA 274.6k poses/s vs Pallas
-# 102.3k — the fused XLA path amortizes at tiny sizes while the kernel
-# pays per-grid-step fixed costs.  100k sits inside the measured
-# 68k-357k bracket.
-PALLAS_AUTO_MIN_PAIRS = 100_000
+# Measured on one v5e chip (SMALL_r05.json pins the crossover the r4
+# bracket left open, VERDICT r4 item 8).  The discriminator is NOT pair
+# count alone but receptor ANM x method:
+# - rigid receptor: Pallas wins at EVERY measured size — truncated-1ppe
+#   44k pairs 421.0k vs 308.1k, 75k 234.8k vs 184.1k, 154k 263.1k vs
+#   137.4k, 243k 228.0k vs 109.0k; full 1ppe 165.8k vs 78.2k; 1k4c
+#   11.15M pairs is Pallas-only territory (the XLA dq tensor is 0.94 GB).
+# - DFIRE + receptor ANM: the kernel is r_tile=32-locked (r64 + channel
+#   blocks exceed scoped VMEM) and loses the refetch halving — XLA wins
+#   at 1czy (67.9k pairs: 274.6k vs 102.3k) and still edges 2uuy (670k
+#   pairs: 60.2k vs 57.0k); beyond ~1M pairs the XLA dq HBM traffic
+#   dominates, so Pallas takes over.
+# - elec/vdw + receptor ANM: r64 is legal -> Pallas wins (1azp 554k
+#   pairs: 116.9k vs 84.3k).
+PALLAS_AUTO_MIN_PAIRS = 30_000  # rigid threshold (measured win at 44k)
+PALLAS_AUTO_DFIRE_ANM_MIN_PAIRS = 1_000_000
 
 
 def pick_energy_mode(params: BatchScoringParams) -> str:
-    """Resolve energy_mode='auto': the Pallas v2 kernels on TPU for any
-    method above the (tiny-complex) pair threshold, XLA otherwise."""
+    """Resolve energy_mode='auto' from the measured crossover map above."""
+    if jax.default_backend() != "tpu":
+        return "xla"
     n_pairs = params.rec_coords.shape[0] * params.lig_coords.shape[0]
-    if (n_pairs >= PALLAS_AUTO_MIN_PAIRS
-            and jax.default_backend() == "tpu"):
-        return "pallas"
-    return "xla"
+    rec_anm = params.use_anm and params.rec_nmodes.shape[0] > 0
+    if params.method == "dfire" and rec_anm:
+        return "pallas" if n_pairs > PALLAS_AUTO_DFIRE_ANM_MIN_PAIRS else "xla"
+    return "pallas" if n_pairs >= PALLAS_AUTO_MIN_PAIRS else "xla"
 
 
 def mixed_precision_energy(energy_fn, state_dtype, energy_dtype):

@@ -226,3 +226,20 @@ def test_pick_energy_mode_auto_tpu(monkeypatch):
         rec_coords=np.zeros((4000, 3), np.float32),
         lig_coords=np.zeros((4000, 3), np.float32))
     assert gj.pick_energy_mode(big) == "pallas"
+    # DFIRE + receptor ANM: the r32-locked kernel loses to XLA through
+    # ~1M pairs (1czy, 2uuy measured; SMALL_r05.json) — auto stays XLA.
+    big_anm = dataclasses.replace(
+        big, use_anm=True,
+        rec_nmodes=np.zeros((10, 4000, 3), np.float32),
+        lig_nmodes=np.zeros((10, 4000, 3), np.float32))
+    assert gj.pick_energy_mode(big_anm) == "pallas"  # 16M pairs: dq-HBM territory
+    huge_anm = dataclasses.replace(
+        big_anm,
+        rec_coords=np.zeros((1615, 3), np.float32),
+        rec_nmodes=np.zeros((10, 1615, 3), np.float32),
+        lig_coords=np.zeros((415, 3), np.float32),
+        lig_nmodes=np.zeros((10, 415, 3), np.float32))
+    assert gj.pick_energy_mode(huge_anm) == "xla"  # 2uuy shape, 670k pairs
+    # elec/vdw + receptor ANM keeps pallas (1azp measured win).
+    dna_anm = dataclasses.replace(huge_anm, method="dna")
+    assert gj.pick_energy_mode(dna_anm) == "pallas"
