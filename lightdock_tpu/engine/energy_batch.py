@@ -267,13 +267,21 @@ def batch_pose_coords(p: BatchScoringParams, t, q, a_rec, a_lig, xp=np):
     receptor: ANM only.  Matches reference src/dfire.rs:274-320.
     """
     rot = qt.rotation_matrix(q, xp)                       # (G, 3, 3)
-    lig = xp.einsum("gab,nb->gna", rot, p.lig_coords)     # (G, Nl, 3)
+    # precision='highest' on every pose-transform contraction: at default
+    # precision XLA:TPU feeds these tiny-K matmuls to the MXU in bf16,
+    # which costs ~1e-3 relative in coordinates and ~1e-2 in energies at
+    # contact (PRECISION_r05 on-chip part A measured it); HIGHEST keeps
+    # them f32-exact for a negligible share of the step (transform is
+    # ~3% of the profile).
+    kw = {} if xp is np else {"precision": "highest"}
+    lig = xp.einsum("gab,nb->gna", rot, p.lig_coords, **kw)  # (G, Nl, 3)
     lig = lig + t[:, None, :]
     if p.use_anm and p.lig_nmodes.shape[0] > 0:
-        lig = lig + xp.einsum("gk,knc->gnc", a_lig, p.lig_nmodes)
+        lig = lig + xp.einsum("gk,knc->gnc", a_lig, p.lig_nmodes, **kw)
     rec = xp.broadcast_to(p.rec_coords[None], (t.shape[0],) + p.rec_coords.shape)
     if p.use_anm and p.rec_nmodes.shape[0] > 0:
-        rec = p.rec_coords[None] + xp.einsum("gk,knc->gnc", a_rec, p.rec_nmodes)
+        rec = p.rec_coords[None] + xp.einsum("gk,knc->gnc", a_rec,
+                                             p.rec_nmodes, **kw)
     return rec, lig
 
 

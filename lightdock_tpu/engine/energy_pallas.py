@@ -428,10 +428,15 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         g = t.shape[0]
         rot = qt.rotation_matrix(q, jnp)                     # (G, 3, 3)
         # Ligand: rotate + translate + ANM, laid out (G, 3, Nl).
-        lig = jnp.einsum("gab,nb->gan", rot, p.lig_coords)   # (G, 3, Nl)
+        # precision='highest': default-precision feeds these tiny-K
+        # matmuls to the MXU in bf16 (~1e-2 relative energy error at
+        # contact, PRECISION_r05 part A); cost is ~3% of the step.
+        lig = jnp.einsum("gab,nb->gan", rot, p.lig_coords,
+                         precision="highest")              # (G, 3, Nl)
         lig = lig + (t - center[None, :])[:, :, None]
         if p.use_anm and p.lig_nmodes.shape[0] > 0:
-            lig = lig + jnp.einsum("gk,knc->gcn", a_lig, p.lig_nmodes)
+            lig = lig + jnp.einsum("gk,knc->gcn", a_lig, p.lig_nmodes,
+                                   precision="highest")
         # Receptor: ANM only, laid out (G, Nr, 3) — atoms on the sublane
         # axis so narrow receptor tiles are legal (ops.pallas_energy).
         # Rigid receptors stay (1, Nr, 3) for the v2 kernel (every pose
@@ -439,7 +444,8 @@ def make_pallas_energy_fn(params: BatchScoringParams,
         rec_base = p.rec_coords - center[None, :]
         if rec_anm:
             rec_all = rec_base[None] + jnp.einsum("gk,knc->gnc", a_rec,
-                                                  p.rec_nmodes)
+                                                  p.rec_nmodes,
+                                                  precision="highest")
         elif kernel == "v2":
             rec_all = rec_base[None]
         else:

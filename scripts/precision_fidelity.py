@@ -99,25 +99,36 @@ def pose_coords(sim, state):
     return np.asarray(lig)
 
 
-def energy_accuracy(sim, method):
-    """Part A: per-pose initial-energy relative error vs the f64 oracle."""
+def f64_ref_energies(sim):
+    """The f64 oracle energies at the initial poses (CPU, x64 on)."""
     import jax.numpy as jnp
     import numpy as np
 
     from lightdock_tpu.engine.energy_batch import batch_energy
-    from lightdock_tpu.engine.energy_pallas import (make_pallas_energy_fn,
-                                                    pose_chunked_energy,
-                                                    spatial_sort_params)
     from lightdock_tpu.engine.gso_jax import device_params, init_state
-    import jax
 
     pos = sim.positions
     st = init_state(pos, sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
                     dtype=jnp.float64)
     p64 = device_params(sim.batch_params(), np.float64)
-    ref = np.asarray(batch_energy(p64, st.t, st.q, st.a_rec, st.a_lig,
-                                  xp=jnp), np.float64)
+    return np.asarray(batch_energy(p64, st.t, st.q, st.a_rec, st.a_lig,
+                                   xp=jnp), np.float64)
 
+
+def energy_accuracy(sim, method, ref):
+    """Part A: per-pose initial-energy relative error vs the f64 oracle
+    (``ref`` precomputed on CPU so this runs x64-free on any backend)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightdock_tpu.engine.energy_pallas import (make_pallas_energy_fn,
+                                                    pose_chunked_energy,
+                                                    spatial_sort_params)
+    from lightdock_tpu.engine.gso_jax import device_params, init_state
+    from lightdock_tpu.engine.energy_batch import batch_energy
+    import jax
+
+    pos = sim.positions
     st32 = init_state(pos, sim.use_anm, sim.setup.anm_rec, sim.setup.anm_lig,
                       dtype=jnp.float32)
     params32 = sim.batch_params(dtype=np.float32)
@@ -204,6 +215,27 @@ def compare_runs(dir64, dir32, sim):
     }
 
 
+def emit_f32(args):
+    """Run ONLY the f32 leg on the session backend, x64 OFF (x64 under
+    the TPU plugin breaks in convert_element_type), plus part A against
+    the CPU-precomputed f64 oracle energies."""
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    backend = jax.default_backend()
+    name = args.examples.split(",")[0]
+    sim, method = load_example(name)
+    cache = pathlib.Path(args.f64_cache)
+    ref = np.load(cache / f"{name}_ref_energies.npy")
+    acc = energy_accuracy(sim, method, ref)
+    out = pathlib.Path(args.emit_f32)
+    log(f"[{name}] f32 {args.engine} run ({backend})")
+    run_engine(sim, out, "f32", args.engine)
+    (out / "partA.json").write_text(json.dumps(
+        {"energy_accuracy": acc, "backend": backend}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", choices=["auto", "cpu"], default="auto")
@@ -216,32 +248,36 @@ def main():
     ap.add_argument("--f64-cache", default=None,
                     help="directory holding (or to hold) the f64 reference "
                          "runs, reused across sessions")
+    ap.add_argument("--emit-f32", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.emit_f32:
+        emit_f32(args)
+        return
+
+    # The driver process always runs CPU + x64 (goldens are an f64
+    # contract); the f32 leg runs in a subprocess on the session backend.
     import jax
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    backend = jax.default_backend()
-    log(f"backend={backend} engine={args.engine}")
+    import numpy as np
+    log(f"driver on cpu; f32 legs on "
+        f"{'cpu' if args.platform == 'cpu' else 'session backend'}")
 
     cache = pathlib.Path(args.f64_cache or
                          tempfile.mkdtemp(prefix="precision_f64_"))
+    cache.mkdir(parents=True, exist_ok=True)
     results = {}
     for name in args.examples.split(","):
         sim, method = load_example(name)
-        row = {"example": name, "method": method, "backend": backend,
-               "engine_f32": args.engine}
-
-        log(f"[{name}] part A: initial-energy accuracy")
-        row["energy_accuracy"] = energy_accuracy(sim, method)
 
         dir64 = cache / name
         if not (dir64 / "gso_100.out").exists():
             log(f"[{name}] f64 XLA reference run (CPU)")
-            import jax.numpy as jnp  # noqa: F401
-            with jax.default_device(jax.devices("cpu")[0]):
-                run_engine(sim, dir64, "f64", "xla")
+            run_engine(sim, dir64, "f64", "xla")
+        ref_npy = cache / f"{name}_ref_energies.npy"
+        if not ref_npy.exists():
+            np.save(ref_npy, f64_ref_energies(sim))
         if name == "1azp":
             # Sanity: the f64 leg must byte-match the shipped goldens.
             for step in (1, 10):
@@ -252,10 +288,26 @@ def main():
             log("[1azp] f64 leg byte-matches the shipped goldens (1, 10)")
 
         with tempfile.TemporaryDirectory() as d32:
-            log(f"[{name}] f32 {args.engine} run ({backend})")
-            run_engine(sim, d32, "f32", args.engine)
+            import subprocess
+            import sys as _sys
+            cmd = [_sys.executable, __file__, "--emit-f32", d32,
+                   "--examples", name, "--engine", args.engine,
+                   "--f64-cache", str(cache)]
+            if args.platform == "cpu":
+                cmd += ["--platform", "cpu"]
+            rc = subprocess.call(cmd)
+            assert rc == 0, f"f32 leg failed rc={rc}"
+            part_a = json.loads((pathlib.Path(d32) / "partA.json")
+                                .read_text())
+            backend = part_a["backend"]
+            row = {"example": name, "method": method, "backend": backend,
+                   "engine_f32": args.engine,
+                   "energy_accuracy": part_a["energy_accuracy"]}
             row.update(compare_runs(dir64, d32, sim))
         results[f"{name}_{backend}_{args.engine}"] = row
+        log(f"[{name}] first divergence step: "
+            f"{row['first_rendered_divergence_step']}, step100: "
+            f"{json.dumps(row['step100'])}")
 
         if args.hybrids:
             # CONTROL: seed-to-seed variability of the all-f64 engine.
@@ -266,8 +318,7 @@ def main():
             dirB = cache / f"{name}_seedB"
             if not (dirB / "gso_100.out").exists():
                 log(f"[{name}] f64 control run, seed+1 (CPU)")
-                with jax.default_device(jax.devices("cpu")[0]):
-                    run_engine(sim, dirB, "f64", "xla", seed=sim.seed + 1)
+                run_engine(sim, dirB, "f64", "xla", seed=sim.seed + 1)
             ctrl = compare_runs(dir64, dirB, sim)
             results[f"{name}_control_f64_seedB"] = {
                 "example": name, "note": "f64 seed=S vs f64 seed=S+1 - "
@@ -284,8 +335,7 @@ def main():
                                   ("f64_state_f32_energy", "f64", "f32")):
                 with tempfile.TemporaryDirectory() as dh:
                     log(f"[{name}] hybrid {label} (xla, cpu)")
-                    with jax.default_device(jax.devices("cpu")[0]):
-                        run_engine(sim, dh, sd, "xla", energy_dtype=ed)
+                    run_engine(sim, dh, sd, "xla", energy_dtype=ed)
                     hrow = compare_runs(dir64, dh, sim)
                 results[f"{name}_hybrid_{label}"] = {
                     "example": name, "state_dtype": sd, "energy_dtype": ed,
@@ -293,9 +343,6 @@ def main():
                 log(f"[{name}] {label}: first divergence "
                     f"{hrow['first_rendered_divergence_step']}, "
                     f"tau={hrow['step100']['kendall_tau']:.3f}")
-        log(f"[{name}] first divergence step: "
-            f"{row['first_rendered_divergence_step']}, step100: "
-            f"{json.dumps(row['step100'])}")
 
     out = pathlib.Path(args.out)
     merged = json.loads(out.read_text()) if out.exists() else {}
