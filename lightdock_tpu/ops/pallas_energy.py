@@ -624,14 +624,19 @@ V2_SUB_BITS = _os.environ.get("LIGHTDOCK_V2_SUB_BITS", "0") not in (
     "0", "", "false", "False")
 
 # Work-list grid (VERDICT r4 item 9): replace the (n_r, n_l) grid with a
-# 1-D grid over a compacted, prefetched list of ACTIVE chunk-tiles
-# (~30% of chunk-tiles are dead at 1ppe, docs/roofline.md) — dead tiles
-# are never scheduled at all instead of being skipped per chunk.
-# DFIRE v2 only, incompatible with sub-block bits.  Accumulation order
-# changes (active tiles first), so parity vs the 2-D kernel is at
-# tolerance.
-V2_WORKLIST = _os.environ.get("LIGHTDOCK_V2_WORKLIST", "0") not in (
-    "0", "", "false", "False")
+# 1-D grid over a compacted, prefetched list of ACTIVE chunk-tiles —
+# dead tiles are never scheduled at all instead of being skipped per
+# chunk.  DFIRE v2 only, incompatible with sub-block bits.  Accumulation
+# order changes (active tiles first), so parity vs the 2-D kernel is at
+# tolerance.  Measured (KERNEL_r05/FARM_r05_dfire): neutral at small
+# grids (1ppe: 51 tiles), +3.6% at 1k4c's 749-tile grid where whole-tile
+# deadness is common — so 'auto' (the default) turns it on only for
+# grids of >= V2_WORKLIST_MIN_TILES tile-pairs.  LIGHTDOCK_V2_WORKLIST=
+# 0/1 forces.
+_wl_env = _os.environ.get("LIGHTDOCK_V2_WORKLIST", "auto")
+V2_WORKLIST = _wl_env not in ("0", "", "false", "False", "auto")
+V2_WORKLIST_AUTO = _wl_env == "auto"
+V2_WORKLIST_MIN_TILES = 512
 
 # d2 computation mode for the v2 kernels: 'diff' (direct difference,
 # 9 VPU ops/element, exactly the XLA path's rounding) or 'aug' (one
@@ -1216,7 +1221,10 @@ def dfire_pairs_pallas_v2(rec_all, lig_all, rec_half, lig_onehot, thresholds,
     ]
     scratch = [pltpu.VMEM((n_k, r_tile, l_tile), dtype)]
 
-    use_wl = (V2_WORKLIST if worklist is None else worklist) and bits_rg == 1
+    if worklist is None:
+        worklist = V2_WORKLIST or (V2_WORKLIST_AUTO
+                                   and n_r * n_l >= V2_WORKLIST_MIN_TILES)
+    use_wl = worklist and bits_rg == 1
     if use_wl:
         # Compacted active-tile list: active tiles first (stable, so the
         # r-major locality survives); padding entries alias the LAST
