@@ -580,15 +580,24 @@ def make_pallas_energy_fn(params: BatchScoringParams,
             return score
         return _bias(p, score, ifr[:, :nr], ifl[:, :nl], jnp)
 
-    # VMEM-fit pose cap for pose_chunked_energy: with receptor ANM the v2
-    # kernels keep a (G, r_tile, 3) receptor block resident per grid
-    # column — 200 poses at r_tile=64 is the measured compile fit on v5e
-    # (16M scoped VMEM); 1600 poses (an S=8 farm batch) OOMs at 100M.
-    # Rigid receptors share one (1, r_tile, 3) block and keep the large
-    # default.
+    # VMEM-fit pose cap for pose_chunked_energy.  The v2 kernels keep the
+    # whole (G, 3->8, l_tile) ligand block VMEM-resident (constant index
+    # map, single buffer): G*8*l_tile*4 bytes — 1600 poses at l_tile=256
+    # (the measured-best 1ppe farm chunk, 13.1M) is the proven fit, so the
+    # cap scales that exact budget by l_tile (l512 -> 800).  With receptor
+    # ANM the (G, r_tile, 3) per-pose receptor block binds harder: 200
+    # poses at r_tile=64 is the measured compile fit (1600 OOMed at 100M).
     max_poses = None
-    if rec_anm and kernel == "v2":
-        max_poses = max(64, int(200 * 64 / r_tile) // 8 * 8)
+    if kernel == "v2":
+        # Multi-ligand-tile grids double-buffer the ligand block (the l
+        # index map varies); single-tile ligands (1ppe's 256) keep one
+        # buffer — measured: 1600 poses at l256/n_l=1 fits (13.1M), 800
+        # at l512/n_l=7 OOMs at 18.75M.
+        bufs = 2 if n_l > 1 else 1
+        max_poses = max(64, (13_107_200 // (8 * l_tile * 4 * bufs)) // 8 * 8)
+        if rec_anm:
+            max_poses = min(max_poses,
+                            max(64, int(200 * 64 / r_tile) // 8 * 8))
 
     if shard_parts:
         def parts_fn(p_loc, rc_loc, rh_loc, t, q, a_rec, a_lig):
